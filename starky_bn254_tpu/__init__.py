@@ -1,0 +1,31 @@
+"""starky_bn254_tpu — a TPU-native STARK proving framework for BN254 arithmetic.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the reference
+qope/starky-bn254 (Rust, see /root/reference): Starky-style AIRs over the
+Goldilocks field proving BN254 Fq/Fq12 exponentiation and G1/G2 scalar
+multiplication, built array-first for TPU rather than row-iterative.
+
+The proving engine (Goldilocks arithmetic, NTT/LDE, Poseidon, Merkle, FRI,
+STARK prover/verifier) is implemented from scratch here; the reference
+delegates all of it to the external plonky2/starky Rust crates (SURVEY.md L1).
+"""
+
+import jax
+
+# The whole framework computes over the Goldilocks field (p = 2^64 - 2^32 + 1)
+# represented as canonical uint64 arrays; 64-bit types must be enabled before
+# any jax.numpy op runs.
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the unrolled field-op graphs are large; caching
+# makes repeated runs (tests, benches) start fast.
+import os as _os
+
+_cache_dir = _os.environ.get("STARKY_JAX_CACHE", "/tmp/starky_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the knob
+    pass
+
+__version__ = "0.1.0"

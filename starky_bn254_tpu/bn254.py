@@ -1,0 +1,318 @@
+"""Host-side BN254 arithmetic oracle (pure Python ints).
+
+Replaces ark-bn254/ark-ec/ark-ff, which the reference uses for witness
+generation and test oracles (reference Cargo.toml:28-31; e.g. the native
+lambda division in src/curves/g1/muladd.rs:136 and the `x.pow` oracle in
+src/fields/fq/circuit.rs:148). Exact integer arithmetic; only used on the
+host to build witnesses and check outputs — never on the device compute path.
+
+Field tower (matching the reference's constraint layout):
+  Fq   = GF(P_BN)
+  Fq2  = Fq[u]/(u^2 + 1)                    (src/fields/fq2.rs:20-39)
+  Fq12 = Fq2[w]/(w^6 - XI), XI = 9 + u      (src/fields/fq12/mul.rs:65-86)
+Fq12 elements are 6 Fq2 coefficients = 12 Fq values interleaved as
+[c0.re, c0.im, c1.re, c1.im, ...]? No — stored as (re_coeffs[6], im_coeffs[6])
+pairs; see Fq12 class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# BN254 base field modulus
+P_BN = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+# BN254 scalar field (group order of G1/G2)
+R_BN = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+# G2 cofactor (reference hardcodes it at src/curves/g2/circuit.rs:346-349)
+G2_COFACTOR = (
+    21888242871839275222246405745257275088844257914179612981679871602714643921549
+)
+
+
+def fq_inv(a: int) -> int:
+    return pow(a % P_BN, P_BN - 2, P_BN)
+
+
+# ----------------------------------------------------------------------------
+# Fq2 = Fq[u]/(u^2+1): represented as (c0, c1) = c0 + c1*u
+# ----------------------------------------------------------------------------
+
+Fq2 = tuple  # (int, int)
+
+
+def fq2_add(a, b):
+    return ((a[0] + b[0]) % P_BN, (a[1] + b[1]) % P_BN)
+
+
+def fq2_sub(a, b):
+    return ((a[0] - b[0]) % P_BN, (a[1] - b[1]) % P_BN)
+
+
+def fq2_neg(a):
+    return ((-a[0]) % P_BN, (-a[1]) % P_BN)
+
+
+def fq2_mul(a, b):
+    return (
+        (a[0] * b[0] - a[1] * b[1]) % P_BN,
+        (a[0] * b[1] + a[1] * b[0]) % P_BN,
+    )
+
+
+def fq2_scalar(a, s: int):
+    return (a[0] * s % P_BN, a[1] * s % P_BN)
+
+
+def fq2_inv(a):
+    norm = (a[0] * a[0] + a[1] * a[1]) % P_BN
+    ninv = fq_inv(norm)
+    return (a[0] * ninv % P_BN, (-a[1]) * ninv % P_BN)
+
+
+XI = (9, 1)  # 9 + u, the sextic non-residue
+
+
+# ----------------------------------------------------------------------------
+# Fq12 = Fq2[w]/(w^6 - XI): 6 Fq2 coefficients
+# ----------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Fq12:
+    coeffs: tuple  # tuple of 6 Fq2 pairs
+
+    @staticmethod
+    def one() -> "Fq12":
+        return Fq12(((1, 0),) + ((0, 0),) * 5)
+
+    @staticmethod
+    def zero() -> "Fq12":
+        return Fq12(((0, 0),) * 6)
+
+    def __mul__(self, other: "Fq12") -> "Fq12":
+        a, b = self.coeffs, other.coeffs
+        wide = [(0, 0)] * 11
+        for i in range(6):
+            for j in range(6):
+                wide[i + j] = fq2_add(wide[i + j], fq2_mul(a[i], b[j]))
+        out = list(wide[:6])
+        for k in range(6, 11):
+            out[k - 6] = fq2_add(out[k - 6], fq2_mul(wide[k], XI))
+        return Fq12(tuple(out))
+
+    def inv(self) -> "Fq12":
+        # Lagrange via pow (slow but oracle-only): a^(p^12 - 2)... far too
+        # slow; use linear algebra instead: solve a * x = 1 in the quotient
+        # ring by extended Euclid over Fq2[w] with modulus w^6 - XI.
+        return _fq12_inv(self)
+
+    def pow(self, e: int) -> "Fq12":
+        result = Fq12.one()
+        base = self
+        while e > 0:
+            if e & 1:
+                result = result * base
+            base = base * base
+            e >>= 1
+        return result
+
+    def to_fq_list(self) -> list[int]:
+        """Flatten to 12 Fq values: [c0.re..c5.re, c0.im..c5.im].
+
+        This matches the reference's column order for Fq12: 12 blocks of
+        N_LIMBS where block k < 6 holds the real parts and block k >= 6 the
+        imaginary parts (src/fields/fq12/mul.rs pol_mul_fq12 operates on
+        xi-folded pairs in this layout).
+        """
+        return [c[0] for c in self.coeffs] + [c[1] for c in self.coeffs]
+
+    @staticmethod
+    def from_fq_list(vals) -> "Fq12":
+        vals = [int(v) % P_BN for v in vals]
+        return Fq12(tuple((vals[k], vals[k + 6]) for k in range(6)))
+
+
+def _poly_divmod(a: list, b: list):
+    """Polynomial division over Fq2; a, b: lists of Fq2 coeffs (low->high)."""
+    a = list(a)
+    while a and a[-1] == (0, 0):
+        a.pop()
+    bl = list(b)
+    while bl and bl[-1] == (0, 0):
+        bl.pop()
+    q = [(0, 0)] * max(len(a) - len(bl) + 1, 0)
+    inv_lead = fq2_inv(bl[-1])
+    while len(a) >= len(bl) and a:
+        f = fq2_mul(a[-1], inv_lead)
+        pos = len(a) - len(bl)
+        q[pos] = f
+        for i, c in enumerate(bl):
+            a[pos + i] = fq2_sub(a[pos + i], fq2_mul(f, c))
+        while a and a[-1] == (0, 0):
+            a.pop()
+    return q, a
+
+
+def _fq12_inv(x: Fq12) -> Fq12:
+    # extended Euclid in Fq2[w] modulo m(w) = w^6 - XI
+    m = [fq2_neg(XI), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0), (1, 0)]
+    r0, r1 = m, list(x.coeffs)
+    while r1 and r1[-1] == (0, 0):
+        r1.pop()
+    s0, s1 = [], [(1, 0)]
+    while True:
+        if len(r1) == 1:
+            inv_c = fq2_inv(r1[0])
+            out = [fq2_mul(c, inv_c) for c in s1]
+            out += [(0, 0)] * (6 - len(out))
+            return Fq12(tuple(out[:6]))
+        q, r = _poly_divmod(r0, r1)
+        # s_new = s0 - q*s1
+        prod = [(0, 0)] * (len(q) + len(s1) - 1 if s1 else 0)
+        for i, qc in enumerate(q):
+            for j, sc in enumerate(s1):
+                prod[i + j] = fq2_add(prod[i + j], fq2_mul(qc, sc))
+        ln = max(len(s0), len(prod))
+        s_new = [
+            fq2_sub(
+                s0[i] if i < len(s0) else (0, 0),
+                prod[i] if i < len(prod) else (0, 0),
+            )
+            for i in range(ln)
+        ]
+        r0, r1 = r1, r
+        s0, s1 = s1, s_new
+        while r1 and r1[-1] == (0, 0):
+            r1.pop()
+        if not r1:
+            raise ZeroDivisionError("Fq12 element not invertible")
+
+
+# ----------------------------------------------------------------------------
+# G1: y^2 = x^3 + 3 over Fq (affine; None = point at infinity)
+# ----------------------------------------------------------------------------
+
+G1_GEN = (1, 2)
+
+
+def g1_is_on_curve(pt) -> bool:
+    if pt is None:
+        return True
+    x, y = pt
+    return (y * y - x * x * x - 3) % P_BN == 0
+
+
+def g1_add(p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1 = p
+    x2, y2 = q
+    if x1 == x2:
+        if (y1 + y2) % P_BN == 0:
+            return None
+        return g1_double(p)
+    lam = (y2 - y1) * fq_inv(x2 - x1) % P_BN
+    x3 = (lam * lam - x1 - x2) % P_BN
+    y3 = (lam * (x1 - x3) - y1) % P_BN
+    return (x3, y3)
+
+
+def g1_double(p):
+    if p is None:
+        return None
+    x, y = p
+    lam = 3 * x * x * fq_inv(2 * y) % P_BN
+    x3 = (lam * lam - 2 * x) % P_BN
+    y3 = (lam * (x - x3) - y) % P_BN
+    return (x3, y3)
+
+
+def g1_neg(p):
+    if p is None:
+        return None
+    return (p[0], (-p[1]) % P_BN)
+
+
+def g1_mul(p, k: int):
+    result = None
+    base = p
+    while k > 0:
+        if k & 1:
+            result = g1_add(result, base)
+        base = g1_double(base)
+        k >>= 1
+    return result
+
+
+# ----------------------------------------------------------------------------
+# G2: y^2 = x^3 + 3/XI over Fq2
+# ----------------------------------------------------------------------------
+
+G2_B = fq2_mul((3, 0), fq2_inv(XI))
+
+G2_GEN = (
+    (
+        10857046999023057135944570762232829481370756359578518086990519993285655852781,
+        11559732032986387107991004021392285783925812861821192530917403151452391805634,
+    ),
+    (
+        8495653923123431417604973247489272438418190587263600148770280649306958101930,
+        4082367875863433681332203403145435568316851327593401208105741076214120093531,
+    ),
+)
+
+
+def g2_is_on_curve(pt) -> bool:
+    if pt is None:
+        return True
+    x, y = pt
+    lhs = fq2_mul(y, y)
+    rhs = fq2_add(fq2_mul(fq2_mul(x, x), x), G2_B)
+    return lhs == rhs
+
+
+def g2_add(p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1 = p
+    x2, y2 = q
+    if x1 == x2:
+        if fq2_add(y1, y2) == (0, 0):
+            return None
+        return g2_double(p)
+    lam = fq2_mul(fq2_sub(y2, y1), fq2_inv(fq2_sub(x2, x1)))
+    x3 = fq2_sub(fq2_sub(fq2_mul(lam, lam), x1), x2)
+    y3 = fq2_sub(fq2_mul(lam, fq2_sub(x1, x3)), y1)
+    return (x3, y3)
+
+
+def g2_double(p):
+    if p is None:
+        return None
+    x, y = p
+    lam = fq2_mul(fq2_scalar(fq2_mul(x, x), 3), fq2_inv(fq2_scalar(y, 2)))
+    x3 = fq2_sub(fq2_mul(lam, lam), fq2_scalar(x, 2))
+    y3 = fq2_sub(fq2_mul(lam, fq2_sub(x, x3)), y)
+    return (x3, y3)
+
+
+def g2_neg(p):
+    if p is None:
+        return None
+    return (p[0], fq2_neg(p[1]))
+
+
+def g2_mul(p, k: int):
+    result = None
+    base = p
+    while k > 0:
+        if k & 1:
+            result = g2_add(result, base)
+        base = g2_double(base)
+        k >>= 1
+    return result

@@ -1,0 +1,83 @@
+"""Merkle tree with cap, batched leaf hashing, TPU-first layout.
+
+Replaces the plonky2 `MerkleTree`/`MerkleCap` the reference gets from its L1
+fork (SURVEY.md 2b). Leaves are rows of a [n_leaves, width] matrix (one leaf
+per LDE-domain point, all committed columns at that point), hashed with the
+overwrite-mode Poseidon sponge; internal levels are batched two-to-one
+compressions. The tree stops `cap_height` levels early, yielding a cap of
+2^cap_height digests (the commitment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from . import poseidon
+
+
+@dataclass
+class MerkleTree:
+    """All levels kept on device for O(1) gather-based proof extraction.
+
+    levels[0]: leaf digests [n, 4]; levels[-1]: cap [2^cap_height, 4].
+    """
+
+    levels: list[jnp.ndarray]
+    cap_height: int
+
+    @property
+    def cap(self) -> jnp.ndarray:
+        return self.levels[-1]
+
+    def prove(self, index: int) -> jnp.ndarray:
+        """Merkle path (sibling digests, bottom-up) for a leaf index.
+
+        Returns [path_len, 4]; path stops at the cap.
+        """
+        sibs = []
+        idx = index
+        for level in self.levels[:-1]:
+            sibs.append(level[idx ^ 1])
+            idx >>= 1
+        if not sibs:
+            return jnp.zeros((0, 4), dtype=jnp.uint64)
+        return jnp.stack(sibs)
+
+
+def build_merkle_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
+    """leaves: [n, width] uint64; n must be a power of two >= 2^cap_height."""
+    n = leaves.shape[0]
+    assert n & (n - 1) == 0
+    assert 1 << cap_height <= n
+
+    digests = poseidon.hash_or_noop(leaves)
+    levels = [digests]
+    while levels[-1].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        left = cur[0::2]
+        right = cur[1::2]
+        levels.append(poseidon.compress(left, right))
+    return MerkleTree(levels=levels, cap_height=cap_height)
+
+
+def verify_merkle_proof(
+    leaf_data: jnp.ndarray,
+    index: int,
+    path: jnp.ndarray,
+    cap: jnp.ndarray,
+) -> bool:
+    """Check a leaf (raw row values) against a cap. Host-side helper."""
+    digest = poseidon.hash_or_noop(leaf_data)
+    idx = index
+    for i in range(path.shape[0]):
+        sib = path[i]
+        if idx & 1:
+            digest = poseidon.compress(sib, digest)
+        else:
+            digest = poseidon.compress(digest, sib)
+        idx >>= 1
+    expected = cap[idx]
+    return bool(jax.device_get((digest == expected).all()))

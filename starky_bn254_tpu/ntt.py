@@ -1,0 +1,220 @@
+"""Number-theoretic transform and low-degree extension over Goldilocks.
+
+The reference's polynomial/LDE machinery lives in the external plonky2 crate
+(`PolynomialValues::new(column)` at the end of every trace generator, e.g.
+reference src/fields/fq/exp.rs:274-277; LDE happens inside starky's prover).
+Here it is built TPU-first:
+
+* Iterative radix-2 decimation-in-time NTT: one bit-reversal row gather
+  (precomputed index constant), then log2(n) stages of reshaped broadcasted
+  butterflies over `[blocks, 2, half, cols]` views, which XLA maps cleanly
+  onto the VPU. The stage loop is a Python loop over static stages, unrolled
+  at trace time.
+* All transforms are batched over a trailing column axis: the trace is
+  `[rows, cols]` and one call transforms every column.
+* Coset LDE: evaluate on `shift * <w_{n*blowup}>` so the vanishing polynomial
+  Z_H(x) = x^n - 1 is nonzero everywhere on the evaluation domain.
+
+Twiddle factors are precomputed with exact Python ints and cached per size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import goldilocks as gl
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool) -> tuple[np.ndarray, ...]:
+    """Twiddles for each Stockham stage of a size-2^log_n NTT.
+
+    Stage s (s = 0..log_n-1) operates on blocks of stride m = 2^s and needs
+    the m distinct twiddles w_{2m}^j, j in [0, m) where w_{2m} is a primitive
+    (2m)-th root (inverse root for the inverse transform).
+    """
+    n = 1 << log_n
+    root = gl.primitive_root_of_unity(log_n)
+    if inverse:
+        root = pow(root, gl.P - 2, gl.P)
+    out = []
+    for s in range(log_n):
+        m = 1 << s
+        w = pow(root, n // (2 * m), gl.P)  # primitive (2m)-th root
+        tw = np.empty(m, dtype=np.uint64)
+        acc = 1
+        for j in range(m):
+            tw[j] = acc
+            acc = acc * w % gl.P
+        out.append(tw)
+    return tuple(out)
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("inverse",))
+def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Forward/inverse NTT along axis 0 of `values` ([n] or [n, cols] u64).
+
+    Natural order in, natural order out. The inverse includes the 1/n scaling.
+    """
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    n, cols = values.shape
+    log_n = int(n).bit_length() - 1
+    assert 1 << log_n == n, "NTT size must be a power of two"
+
+    twiddles = _stage_twiddles(log_n, inverse)
+
+    x = values[jnp.asarray(_bit_reversal(log_n))]
+    for s in range(log_n):
+        m = 1 << s  # butterfly half-size at this stage
+        k = n // (2 * m)
+        xv = x.reshape(k, 2, m, cols)
+        a = xv[:, 0]  # [k, m, cols]
+        b = xv[:, 1]
+        tw = jnp.asarray(twiddles[s], dtype=jnp.uint64)[None, :, None]
+        bt = gl.mul(b, tw)
+        x = jnp.concatenate(
+            [gl.add(a, bt)[:, None], gl.sub(a, bt)[:, None]], axis=1
+        ).reshape(n, cols)
+    if inverse:
+        n_inv = jnp.asarray(np.uint64(pow(n, gl.P - 2, gl.P)))
+        x = gl.mul(x, n_inv)
+    return x[:, 0] if squeeze else x
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_reversal(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev.astype(np.int32)
+
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("rate_bits", "shift"))
+def lde_from_coeffs(
+    coeffs: jnp.ndarray, rate_bits: int, shift: int = gl.GENERATOR
+) -> jnp.ndarray:
+    """Evaluate coefficient-form polynomials on shift * H_{n * 2^rate_bits}.
+
+    coeffs: [n, cols]; returns [n << rate_bits, cols].
+    """
+    squeeze = coeffs.ndim == 1
+    if squeeze:
+        coeffs = coeffs[:, None]
+    n, cols = coeffs.shape
+    big_n = n << rate_bits
+    powers = _shift_powers(shift, n)
+    scaled = gl.mul(coeffs, jnp.asarray(powers)[:, None])
+    padded = jnp.zeros((big_n, cols), dtype=jnp.uint64).at[:n].set(scaled)
+    out = ntt(padded, inverse=False)
+    return out[:, 0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers(shift: int, n: int) -> np.ndarray:
+    powers = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        powers[i] = acc
+        acc = acc * shift % gl.P
+    return powers
+
+
+def interpolate_coset(values: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Coefficients of the polynomial with the given evals on shift * H_n."""
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    n = values.shape[0]
+    coeffs = ntt(values, inverse=True)
+    s_inv = pow(shift, gl.P - 2, gl.P)
+    out = gl.mul(coeffs, jnp.asarray(_shift_powers(s_inv, n))[:, None])
+    return out[:, 0] if squeeze else out
+
+
+@_jax.jit
+def eval_polys_at_ext_point(coeffs: jnp.ndarray, point_ext) -> jnp.ndarray:
+    """Evaluate base-coeff polynomials at one extension point.
+
+    coeffs: [n, cols]; point_ext: [2]. Returns [cols, 2]. Uses the powers
+    vector + modular matvec rather than a sequential Horner scan (TPU-friendly
+    log-depth scan + one reduction).
+    """
+    squeeze = coeffs.ndim == 1
+    if squeeze:
+        coeffs = coeffs[:, None]
+    n, cols = coeffs.shape
+    w = gl.ext_powers_vec(point_ext, n)  # [n, 2]
+    c0 = gl.sum_mod(gl.mul(coeffs, w[:, 0:1]), axis=0)  # [cols]
+    c1 = gl.sum_mod(gl.mul(coeffs, w[:, 1:2]), axis=0)
+    out = jnp.stack([c0, c1], axis=-1)
+    return out[0] if squeeze else out
+
+
+def coset_lde(values: jnp.ndarray, rate_bits: int, shift: int = gl.GENERATOR):
+    """Low-degree extension: interpolate columns over H_n, evaluate over
+    shift * H_{n * 2^rate_bits}.
+
+    values: [n, cols] evaluations over the size-n subgroup (natural order).
+    Returns [n * 2^rate_bits, cols] evaluations over the shifted big domain.
+    """
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    n, cols = values.shape
+    coeffs = ntt(values, inverse=True)
+    big_n = n << rate_bits
+    # scale coefficient i by shift^i, zero-pad to big_n, forward NTT
+    powers = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        powers[i] = acc
+        acc = acc * shift % gl.P
+    scaled = gl.mul(coeffs, jnp.asarray(powers)[:, None])
+    padded = jnp.zeros((big_n, cols), dtype=jnp.uint64).at[:n].set(scaled)
+    out = ntt(padded, inverse=False)
+    return out[:, 0] if squeeze else out
+
+
+def interpolate_coeffs(values: jnp.ndarray) -> jnp.ndarray:
+    """Monomial coefficients of the polynomial with the given subgroup evals."""
+    return ntt(values, inverse=True)
+
+
+def eval_poly_ext(coeffs: jnp.ndarray, point_ext: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate polynomial(s) with base-field coeffs at an extension point.
+
+    coeffs: [n] or [n, cols]; point_ext: [2]. Returns [2] or [cols, 2].
+    Horner in the extension field (scan-free; unrolled over log-chunks would
+    be possible, but this runs on small n in the verifier only).
+    """
+    import jax
+
+    squeeze = coeffs.ndim == 1
+    if squeeze:
+        coeffs = coeffs[:, None]
+    n, cols = coeffs.shape
+
+    def body(acc, c):
+        # acc: [cols, 2]; c: [cols]
+        acc = gl.ext_mul(acc, jnp.broadcast_to(point_ext, acc.shape))
+        acc = gl.ext_add(acc, gl.ext_from_base(c))
+        return acc, None
+
+    init = jnp.zeros((cols, 2), dtype=jnp.uint64)
+    acc, _ = jax.lax.scan(body, init, jnp.flip(coeffs, axis=0))
+    return acc[0] if squeeze else acc

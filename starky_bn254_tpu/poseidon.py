@@ -1,0 +1,146 @@
+"""Poseidon permutation over Goldilocks, width 12, batched for TPU.
+
+The reference relies on plonky2's `PoseidonGoldilocksConfig` for every
+commitment and Fiat-Shamir transcript (reference src/modular/modular.rs:541-543
+and all tests). This is a from-scratch implementation with the same shape:
+width 12, rate 8, capacity 4, x^7 S-box, 8 full + 22 partial rounds.
+
+Parameter provenance: round constants are generated deterministically by
+SHA-256 counter-mode rejection sampling from a fixed seed string, and the MDS
+matrix is the Cauchy matrix M[i][j] = 1/(x_i + y_j) with x_i = i, y_j = 12+j
+(pairwise-distinct x's and y's with nonzero sums => provably MDS). The module
+is parameterized so a plonky2-compatible constant set can be swapped in for
+transcript parity once those constants are available; proofs in this framework
+are self-consistently verified with the constants below.
+
+All functions are batched: a state batch has shape [..., WIDTH] uint64.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import goldilocks as gl
+
+WIDTH = 12
+RATE = 8
+CAPACITY = 4
+FULL_ROUNDS = 8  # 4 at the start, 4 at the end
+PARTIAL_ROUNDS = 22
+ALPHA = 7  # S-box exponent
+
+_SEED = b"starky_bn254_tpu/poseidon/goldilocks-w12/v1"
+
+
+def _sample_field_elements(count: int, label: bytes) -> np.ndarray:
+    """Deterministic rejection sampling of canonical Goldilocks elements."""
+    out = np.empty(count, dtype=np.uint64)
+    i = 0
+    ctr = 0
+    while i < count:
+        h = hashlib.sha256(_SEED + b"/" + label + b"/" + str(ctr).encode()).digest()
+        ctr += 1
+        for off in range(0, 32, 8):
+            v = int.from_bytes(h[off : off + 8], "little")
+            if v < gl.P and i < count:
+                out[i] = v
+                i += 1
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _constants():
+    n_rounds = FULL_ROUNDS + PARTIAL_ROUNDS
+    rc = _sample_field_elements(n_rounds * WIDTH, b"rc").reshape(n_rounds, WIDTH)
+    # Cauchy MDS matrix over GF(p): entries 1/(i + j + WIDTH)
+    mds = np.empty((WIDTH, WIDTH), dtype=np.uint64)
+    for i in range(WIDTH):
+        for j in range(WIDTH):
+            mds[i, j] = pow(i + j + WIDTH, gl.P - 2, gl.P)
+    return rc, mds
+
+
+def _sbox(x):
+    x2 = gl.square(x)
+    x4 = gl.square(x2)
+    x6 = gl.mul(x4, x2)
+    return gl.mul(x6, x)
+
+
+def _mds_layer(state, mds):
+    # state: [..., WIDTH]; mds: [WIDTH, WIDTH]. One broadcasted modmul plus
+    # an exact lane-sum — the whole layer is a handful of XLA ops.
+    prod = gl.mul(state[..., None, :], mds)  # [..., out, in]
+    return gl.sum_mod(prod, axis=-1)
+
+
+def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
+    rc, mds_np = _constants()
+    rc_j = jnp.asarray(rc)
+    mds = jnp.asarray(mds_np)
+
+    half = FULL_ROUNDS // 2
+    r = 0
+    for _ in range(half):
+        state = gl.add(state, rc_j[r])
+        state = _sbox(state)
+        state = _mds_layer(state, mds)
+        r += 1
+    for _ in range(PARTIAL_ROUNDS):
+        state = gl.add(state, rc_j[r])
+        s0 = _sbox(state[..., 0])
+        state = state.at[..., 0].set(s0)
+        state = _mds_layer(state, mds)
+        r += 1
+    for _ in range(half):
+        state = gl.add(state, rc_j[r])
+        state = _sbox(state)
+        state = _mds_layer(state, mds)
+        r += 1
+    return state
+
+
+import jax
+
+permute = jax.jit(_permute_impl)
+
+
+@jax.jit
+def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-length overwrite-mode sponge: [..., n] -> [..., 4] digest.
+
+    Absorbs rate-sized chunks by overwriting the rate portion and permuting
+    after each chunk (including a final partial chunk), then squeezes the
+    first 4 state elements.
+    """
+    *batch, n = inputs.shape
+    state = jnp.zeros((*batch, WIDTH), dtype=jnp.uint64)
+    for start in range(0, n, RATE):
+        chunk = inputs[..., start : start + RATE]
+        w = chunk.shape[-1]
+        state = state.at[..., :w].set(chunk)
+        state = permute(state)
+    return state[..., :4]
+
+
+def hash_or_noop(inputs: jnp.ndarray) -> jnp.ndarray:
+    """[..., n] -> [..., 4]: values <= 4 wide are zero-padded, not hashed."""
+    n = inputs.shape[-1]
+    if n <= 4:
+        pad = [(0, 0)] * (inputs.ndim - 1) + [(0, 4 - n)]
+        return jnp.pad(inputs, pad)
+    return hash_no_pad(inputs)
+
+
+@jax.jit
+def compress(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """Two-to-one compression: [..., 4] x [..., 4] -> [..., 4]."""
+    *batch, _ = left.shape
+    state = jnp.zeros((*batch, WIDTH), dtype=jnp.uint64)
+    state = state.at[..., 0:4].set(left)
+    state = state.at[..., 4:8].set(right)
+    return permute(state)[..., :4]

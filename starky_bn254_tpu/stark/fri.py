@@ -1,0 +1,265 @@
+"""FRI low-degree proof: commit/fold phase, grinding, and query phase.
+
+Replaces the FRI prover/verifier of the reference's external fork
+(SURVEY.md 2b: "FRI prover + verifier"). TPU-first shape:
+
+* the batched opening polynomial F lives as extension values [N, 2] on the
+  shifted evaluation domain; every fold step is a vectorized butterfly
+  (no gathers — pairs are (j, j + m/2) in natural order);
+* every fold layer (including layer 0 = F itself) is Merkle-committed with
+  paired leaves [F(x_j), F(-x_j)] so one query opens both fold inputs;
+* proof-of-work grinding and query-side Merkle/fold checks run as batched
+  device ops, not per-query host loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import goldilocks as gl
+from .. import merkle, ntt, poseidon
+from ..challenger import Challenger
+from .config import FriConfig
+from .proof import FriProof, FriQueryRound
+
+INV2 = (gl.P + 1) // 2
+
+
+def _fold_layer_sizes(n: int, cfg: FriConfig) -> list[int]:
+    """Domain sizes of committed layers: n, n/2, ... down to the final one."""
+    sizes = []
+    m = n
+    while m > (1 << cfg.final_poly_bits) * cfg.blowup:
+        sizes.append(m)
+        m //= 2
+    return sizes
+
+
+def fri_prove(
+    f_values: jnp.ndarray,  # [N, 2] extension values of F on shift * H_N
+    shift: int,
+    oracles: list[tuple[merkle.MerkleTree, jnp.ndarray]],
+    challenger: Challenger,
+    cfg: FriConfig,
+) -> FriProof:
+    n = f_values.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+
+    values = f_values
+    cur_shift = shift
+    m = n
+    layer_trees: list[merkle.MerkleTree] = []
+    layer_pairs: list[jnp.ndarray] = []
+    betas: list[tuple[int, int]] = []
+
+    while m > (1 << cfg.final_poly_bits) * cfg.blowup:
+        half = m // 2
+        pairs = jnp.concatenate([values[:half], values[half:]], axis=-1)  # [half, 4]
+        cap_h = min(cfg.cap_height, (half.bit_length() - 1))
+        tree = merkle.build_merkle_tree(pairs, cap_h)
+        layer_trees.append(tree)
+        layer_pairs.append(pairs)
+        challenger.observe_cap(np.asarray(tree.cap))
+        beta = challenger.get_ext_challenge()
+        betas.append(beta)
+
+        # fold: F'(x^2) = (F(x)+F(-x))/2 + beta * (F(x)-F(-x))/(2x)
+        w_m_inv = pow(gl.primitive_root_of_unity(m.bit_length() - 1), gl.P - 2, gl.P)
+        s_inv = pow(cur_shift, gl.P - 2, gl.P)
+        beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
+        values = _fold_step(
+            values,
+            beta_arr,
+            jnp.asarray(np.uint64(w_m_inv)),
+            jnp.asarray(np.uint64(s_inv)),
+        )
+        cur_shift = cur_shift * cur_shift % gl.P
+        m = half
+
+    # final polynomial: interpolate the remaining values (componentwise base
+    # NTT is valid for extension values since the NTT matrix is base-field).
+    coeffs_shifted = ntt.ntt(values, inverse=True)  # [m, 2]
+    s_inv = pow(cur_shift, gl.P - 2, gl.P)
+    unscale = gl.powers_vec(jnp.asarray(np.uint64(s_inv)), m)
+    final_coeffs = gl.mul(coeffs_shifted, unscale[:, None])
+    final_len = m // cfg.blowup
+    final_coeffs = final_coeffs[:final_len]
+    challenger.observe_elements(np.asarray(final_coeffs).reshape(-1))
+
+    # proof-of-work grinding (device-batched search)
+    pow_seed = challenger.get_challenge()
+    nonce = grind(pow_seed, cfg.proof_of_work_bits)
+    challenger.observe_element(nonce)
+
+    indices = challenger.get_indices(cfg.num_query_rounds, n)
+
+    # query rounds
+    query_rounds = []
+    for idx in indices:
+        init_leaves = [np.asarray(mat[idx]) for _, mat in oracles]
+        init_paths = [np.asarray(tree.prove(idx)) for tree, _ in oracles]
+        layer_leaves, layer_paths = [], []
+        cur = idx
+        for tree, pairs in zip(layer_trees, layer_pairs):
+            half = pairs.shape[0]
+            j = cur % half
+            layer_leaves.append(np.asarray(pairs[j]))
+            layer_paths.append(np.asarray(tree.prove(j)))
+            cur = j
+        query_rounds.append(
+            FriQueryRound(init_leaves, init_paths, layer_leaves, layer_paths)
+        )
+
+    return FriProof(
+        layer_caps=[np.asarray(t.cap) for t in layer_trees],
+        final_coeffs=np.asarray(final_coeffs),
+        pow_nonce=nonce,
+        query_rounds=query_rounds,
+    )
+
+
+@jax.jit
+def _fold_step(values, beta_arr, w_m_inv, s_inv):
+    m = values.shape[0]
+    half = m // 2
+    v0, v1 = values[:half], values[half:]
+    inv_x = gl.mul(gl.powers_vec(w_m_inv, half), s_inv)  # [half]
+    inv2 = jnp.asarray(np.uint64(INV2))
+    even = gl.mul(gl.ext_add(v0, v1), inv2)
+    odd = gl.mul(gl.ext_sub(v0, v1), gl.mul(inv_x, inv2)[:, None])
+    return gl.ext_add(even, gl.ext_mul(odd, jnp.broadcast_to(beta_arr, odd.shape)))
+
+
+# ----------------------------------------------------------------------------
+# Proof-of-work grinding
+# ----------------------------------------------------------------------------
+
+
+def _pow_value(seed: int, nonces: jnp.ndarray) -> jnp.ndarray:
+    """H(seed, nonce)[0] for a batch of nonces."""
+    b = nonces.shape[0]
+    state = jnp.zeros((b, poseidon.WIDTH), dtype=jnp.uint64)
+    state = state.at[:, 0].set(np.uint64(seed))
+    state = state.at[:, 1].set(nonces)
+    return poseidon.permute(state)[:, 0]
+
+
+def grind(seed: int, pow_bits: int) -> int:
+    """Find nonce with H(seed, nonce)[0] < 2^(64 - pow_bits)."""
+    threshold = np.uint64(1 << (64 - pow_bits))
+    batch = 1 << max(pow_bits + 2, 10)
+    start = 0
+    while True:
+        nonces = jnp.arange(start, start + batch, dtype=jnp.uint64)
+        vals = _pow_value(seed, nonces)
+        hits = np.asarray(vals < threshold)
+        if hits.any():
+            return int(start + int(np.argmax(hits)))
+        start += batch
+
+
+def check_pow(seed: int, nonce: int, pow_bits: int) -> bool:
+    val = _pow_value(seed, jnp.asarray([nonce], dtype=jnp.uint64))[0]
+    return int(val) < (1 << (64 - pow_bits))
+
+
+# ----------------------------------------------------------------------------
+# Verifier-side batched helpers
+# ----------------------------------------------------------------------------
+
+
+def verify_merkle_batch(
+    leaves: jnp.ndarray,  # [Q, width] raw leaf rows
+    indices: jnp.ndarray,  # [Q]
+    paths: jnp.ndarray,  # [Q, depth, 4]
+    cap: jnp.ndarray,  # [2^cap, 4]
+) -> bool:
+    digests = poseidon.hash_or_noop(leaves)  # [Q, 4]
+    idx = indices
+    depth = paths.shape[1]
+    for lvl in range(depth):
+        sib = paths[:, lvl]
+        bit = (idx & 1).astype(bool)[:, None]
+        left = jnp.where(bit, sib, digests)
+        right = jnp.where(bit, digests, sib)
+        digests = poseidon.compress(left, right)
+        idx = idx >> 1
+    expected = cap[idx]
+    return bool(np.asarray((digests == expected).all()))
+
+
+def fri_verify_query_layers(
+    f_at_idx: jnp.ndarray,  # [Q, 2] recomputed F(x_i) per query
+    indices: np.ndarray,  # [Q]
+    layer_leaves: list[jnp.ndarray],  # per layer: [Q, 4]
+    layer_paths: list[jnp.ndarray],  # per layer: [Q, depth_k, 4]
+    layer_caps: list[np.ndarray],
+    betas: list[tuple[int, int]],
+    final_coeffs: np.ndarray,  # [final_len, 2]
+    n: int,
+    shift: int,
+    cfg: FriConfig,
+) -> bool:
+    """Batched fold-consistency check across all queries."""
+    ok = True
+    idx = jnp.asarray(indices.astype(np.int64))
+    expected = f_at_idx  # [Q, 2]
+    m = n
+    cur_shift = shift
+    for k, (leaves, paths, cap) in enumerate(
+        zip(layer_leaves, layer_paths, layer_caps)
+    ):
+        half = m // 2
+        j = idx % half
+        ok &= verify_merkle_batch(leaves, j, paths, jnp.asarray(cap))
+        v0 = leaves[:, 0:2]  # F(x_j)
+        v1 = leaves[:, 2:4]  # F(-x_j)
+        # the queried value must appear at its slot in the pair
+        in_hi = (idx >= half)[:, None]
+        mine = jnp.where(in_hi, v1, v0)
+        ok &= bool(np.asarray((mine == expected).all()))
+        # fold
+        w_m = gl.primitive_root_of_unity(m.bit_length() - 1)
+        w_m_inv = pow(w_m, gl.P - 2, gl.P)
+        s_inv = pow(cur_shift, gl.P - 2, gl.P)
+        # x_j^{-1} = s^{-1} w^{-j} via per-query exponentiation (log m muls)
+        inv_x = _pow_per_query(w_m_inv, j, half)
+        inv_x = gl.mul(inv_x, jnp.asarray(np.uint64(s_inv)))
+        beta = jnp.asarray(np.array(betas[k], dtype=np.uint64))
+        even = gl.mul(gl.ext_add(v0, v1), jnp.asarray(np.uint64(INV2)))
+        odd = gl.mul(gl.ext_sub(v0, v1), gl.mul(inv_x, jnp.asarray(np.uint64(INV2)))[:, None])
+        expected = gl.ext_add(even, gl.ext_mul(odd, jnp.broadcast_to(beta, odd.shape)))
+        idx = j
+        m = half
+        cur_shift = cur_shift * cur_shift % gl.P
+
+    # final polynomial evaluation at the query points (base-field points)
+    w_m = gl.primitive_root_of_unity(m.bit_length() - 1)
+    x = gl.mul(
+        _pow_per_query(w_m, idx, m),
+        jnp.asarray(np.uint64(cur_shift)),
+    )  # [Q]
+    fc = jnp.asarray(final_coeffs)  # [L, 2]
+    acc = jnp.zeros((x.shape[0], 2), dtype=jnp.uint64)
+    x_ext = gl.ext_from_base(x)  # [Q, 2]
+    for c in range(fc.shape[0] - 1, -1, -1):
+        acc = gl.ext_mul(acc, x_ext)
+        acc = gl.ext_add(acc, jnp.broadcast_to(fc[c], acc.shape))
+    ok &= bool(np.asarray((acc == expected).all()))
+    return ok
+
+
+def _pow_per_query(base: int, exps: jnp.ndarray, m: int) -> jnp.ndarray:
+    """base^exps (mod p) for exps < m, via binary exponentiation on device."""
+    bits = max(m.bit_length() - 1, 1)
+    result = jnp.ones_like(exps, dtype=jnp.uint64)
+    sq = base % gl.P
+    for b in range(bits):
+        bit_set = ((exps >> b) & 1).astype(bool)
+        mult = gl.mul(result, jnp.asarray(np.uint64(sq)))
+        result = jnp.where(bit_set, mult, result)
+        sq = sq * sq % gl.P
+    return result

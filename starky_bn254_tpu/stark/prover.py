@@ -1,0 +1,394 @@
+"""STARK prover: trace commit -> permutation Z -> quotient -> FRI.
+
+Replaces `starky::prover::prove` (called by the reference at e.g.
+src/fields/fq/exp.rs:618-625) with an array-first pipeline:
+
+  trace [n, C] --INTT--> coeffs --coset NTT--> LDE [N, C] --Merkle--> cap
+      |                                            |
+      +-- permutation Z columns (scan-built grand products) --> Z cap
+      +-- composition: AIR.eval vectorized over all N LDE rows at once
+      +-- quotient chunks --> cap --> openings at zeta, g*zeta --> FRI
+
+Every hot stage (NTT, Merkle hashing, composition, FRI folds) is a batched
+device computation; the host only sequences Fiat-Shamir.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import goldilocks as gl
+from .. import merkle, ntt
+from ..challenger import Challenger
+from .air import Air
+from .config import StarkConfig
+from .consumer import ConstraintConsumer
+from .field_expr import PublicInputsView, RowView, Val
+from .fri import fri_prove
+from .proof import StarkOpenings, StarkProof
+
+QUOTIENT_CHUNKS = 2  # constraint degree 3 => quotient degree < 2n
+
+
+@dataclass
+class Commitment:
+    values: jnp.ndarray  # [n, C] subgroup evaluations
+    coeffs: jnp.ndarray  # [n, C]
+    lde: jnp.ndarray  # [N, C]
+    tree: merkle.MerkleTree
+
+
+def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
+    coeffs = ntt.interpolate_coeffs(values)
+    lde = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
+    n_lde = lde.shape[0]
+    cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
+    tree = merkle.build_merkle_tree(lde, cap_h)
+    return Commitment(values, coeffs, lde, tree)
+
+
+import jax
+
+
+@jax.jit
+def _z_columns_impl(trace, a_idx, b_idx, gammas):
+    n_pairs = a_idx.shape[0]
+    cols = []
+    for ci in range(gammas.shape[0]):
+        g = gammas[ci]
+        num = gl.add(trace[:, a_idx], g)
+        den = gl.add(trace[:, b_idx], g)
+        ratio = gl.mul(num, gl.batch_inv(den))
+        prods = gl.cumprod(ratio)  # [n, nP] inclusive products
+        z = jnp.concatenate(
+            [jnp.ones((1, n_pairs), dtype=jnp.uint64), prods[:-1]], axis=0
+        )
+        cols.append(z)
+    return jnp.concatenate(cols, axis=1)
+
+
+def compute_z_columns(
+    trace: jnp.ndarray, pairs: list[tuple[int, int]], gammas: list[int]
+) -> jnp.ndarray:
+    """Grand-product Z columns, challenge-major order: [n, len(gammas)*len(pairs)].
+
+    Z[0] = 1, Z[i+1] = Z[i] * (a_i + gamma) / (b_i + gamma); multiset equality
+    of columns a and b iff the product wraps to 1, enforced by the cyclic
+    transition constraint in `permutation_constraints`.
+    """
+    a_idx = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
+    b_idx = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
+    g = jnp.asarray(np.array(gammas, dtype=np.uint64))
+    return _z_columns_impl(trace, a_idx, b_idx, g)
+
+
+def permutation_constraints(
+    pairs: list[tuple[int, int]],
+    gammas: list,
+    lv: RowView,
+    nv: RowView,
+    z_lv: RowView,
+    z_nv: RowView,
+    cc: ConstraintConsumer,
+    ext: bool,
+):
+    """Framework-added constraints for the permutation argument.
+
+    gammas: list of Val-compatible scalars (base ints for prover-side trace
+    building become Val constants here; verifier passes ext-embedded Vals).
+    Deterministic order: challenge-major, then pair index, first-row
+    constraints then transition constraints (lane-stacked per challenge).
+    """
+    from .field_expr import stack_vals
+
+    n_pairs = len(pairs)
+    a_idx = [p[0] for p in pairs]
+    b_idx = [p[1] for p in pairs]
+    for ci, gamma in enumerate(gammas):
+        zs = z_lv.cols_idx([ci * n_pairs + k for k in range(n_pairs)])
+        zns = z_nv.cols_idx([ci * n_pairs + k for k in range(n_pairs)])
+        avs = lv.cols_idx(a_idx)
+        bvs = lv.cols_idx(b_idx)
+        cc.constraint_first_row(zs - 1)
+        # cyclic: Z(gx)*(b+gamma) - Z(x)*(a+gamma) == 0 on every row; at the
+        # last row Z(gx) wraps to Z(first)=1 giving the product-closure check.
+        cc.constraint(zns * (bvs + gamma) - zs * (avs + gamma))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _composition_fn(air: Air, n: int, cfg: StarkConfig, has_z: bool):
+    """Jitted composition evaluator per (air, degree, config).
+
+    The whole AIR constraint graph traces once; repeated proves reuse the
+    compiled executable (and the on-disk compilation cache across runs).
+    """
+    blowup = cfg.fri.blowup
+    sels = _lde_selectors(n, cfg.fri.rate_bits)
+    pairs = air.permutation_pairs()
+
+    def fn(trace_lde, z_lde, public_inputs, alphas, gammas):
+        lv = RowView(trace_lde, ext=False)
+        nv = RowView(jnp.roll(trace_lde, -blowup, axis=0), ext=False)
+        pi = PublicInputsView(public_inputs, ext=False)
+        alphas_v = [Val(alphas[i], False) for i in range(cfg.num_challenges)]
+        cc = ConstraintConsumer(
+            alphas_v,
+            z_last=Val(jnp.asarray(sels["z_last"]), False),
+            l_first=Val(jnp.asarray(sels["l_first"]), False),
+            l_last=Val(jnp.asarray(sels["l_last"]), False),
+        )
+        air.eval(lv, nv, pi, cc)
+        if has_z:
+            z_lv = RowView(z_lde, ext=False)
+            z_nv = RowView(jnp.roll(z_lde, -blowup, axis=0), ext=False)
+            gammas_v = [Val(gammas[i], False) for i in range(cfg.num_challenges)]
+            permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv, cc, False)
+        zh_inv = jnp.asarray(sels["zh_inv"])
+        accs = cc.final_accs()
+        return jnp.stack([gl.mul(acc.arr, zh_inv) for acc in accs])
+
+    import jax
+
+    return jax.jit(fn)
+
+
+def evaluate_composition(
+    air: Air,
+    trace_lde: jnp.ndarray,
+    z_lde: jnp.ndarray | None,
+    public_inputs: jnp.ndarray,
+    alphas: list[int],
+    gammas: list[int],
+    n: int,
+    cfg: StarkConfig,
+) -> jnp.ndarray:
+    """Constraint composition over all LDE points: returns [nc, N] quotient
+    values (already divided by Z_H)."""
+    has_z = z_lde is not None
+    fn = _composition_fn(air, n, cfg, has_z)
+    a = jnp.asarray(np.array(alphas, dtype=np.uint64))
+    g = jnp.asarray(np.array(gammas if gammas else [0], dtype=np.uint64))
+    if z_lde is None:
+        z_lde = jnp.zeros((trace_lde.shape[0], 1), dtype=jnp.uint64)
+    return fn(trace_lde, z_lde, public_inputs, a, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _lde_selectors(n: int, rate_bits: int) -> dict:
+    """Host-precomputed selector vectors over the LDE coset (exact ints)."""
+    shift = gl.GENERATOR
+    n_lde = n << rate_bits
+    log_lde = n_lde.bit_length() - 1
+    w_big = gl.primitive_root_of_unity(log_lde)
+    w_n = gl.primitive_root_of_unity(n.bit_length() - 1)
+    g_last = pow(w_n, n - 1, gl.P)
+
+    xs = np.empty(n_lde, dtype=np.uint64)
+    acc = shift % gl.P
+    for i in range(n_lde):
+        xs[i] = acc
+        acc = acc * w_big % gl.P
+
+    s_n = pow(shift, n, gl.P)
+    w_big_n = pow(w_big, n, gl.P)  # order = blowup
+    zh = np.empty(n_lde, dtype=np.uint64)
+    accz = s_n
+    for i in range(n_lde):
+        zh[i] = (accz - 1) % gl.P
+        accz = accz * w_big_n % gl.P
+
+    n_inv = pow(n, gl.P - 2, gl.P)
+    zh_inv = np.array([pow(int(v), gl.P - 2, gl.P) for v in zh], dtype=np.uint64)
+    l_first = np.array(
+        [
+            int(zh[i]) * n_inv % gl.P * pow((int(xs[i]) - 1) % gl.P, gl.P - 2, gl.P) % gl.P
+            for i in range(n_lde)
+        ],
+        dtype=np.uint64,
+    )
+    l_last = np.array(
+        [
+            int(zh[i])
+            * g_last
+            % gl.P
+            * n_inv
+            % gl.P
+            * pow((int(xs[i]) - g_last) % gl.P, gl.P - 2, gl.P)
+            % gl.P
+            for i in range(n_lde)
+        ],
+        dtype=np.uint64,
+    )
+    z_last = np.array([(int(x) - g_last) % gl.P for x in xs], dtype=np.uint64)
+    return {
+        "xs": xs,
+        "zh": zh,
+        "zh_inv": zh_inv,
+        "l_first": l_first,
+        "l_last": l_last,
+        "z_last": z_last,
+        "g_last": g_last,
+    }
+
+
+def prove(
+    air: Air,
+    trace: jnp.ndarray,  # [n, C] u64
+    public_inputs: np.ndarray,  # [P] u64
+    cfg: StarkConfig,
+) -> StarkProof:
+    n, num_cols = trace.shape
+    assert num_cols == air.num_columns, (num_cols, air.num_columns)
+    assert n & (n - 1) == 0
+    degree_bits = n.bit_length() - 1
+    nc = cfg.num_challenges
+
+    challenger = Challenger()
+    pi_arr = np.asarray(public_inputs, dtype=np.uint64)
+    challenger.observe_elements(pi_arr)
+
+    # 1. trace commitment
+    trace_c = commit(trace, cfg)
+    challenger.observe_cap(np.asarray(trace_c.tree.cap))
+
+    # 2. permutation Z columns
+    pairs = air.permutation_pairs()
+    z_c = None
+    gammas: list[int] = []
+    if pairs:
+        gammas = challenger.get_n_challenges(nc)
+        z_cols = compute_z_columns(trace, pairs, gammas)
+        z_c = commit(z_cols, cfg)
+        challenger.observe_cap(np.asarray(z_c.tree.cap))
+
+    # 3. constraint composition -> quotient chunks
+    alphas = challenger.get_n_challenges(nc)
+    qvals = evaluate_composition(
+        air,
+        trace_c.lde,
+        z_c.lde if z_c else None,
+        jnp.asarray(pi_arr),
+        alphas,
+        gammas,
+        n,
+        cfg,
+    )  # [nc, N]
+    # interpolate quotient over the LDE coset, split into degree-n chunks
+    q_coeffs = ntt.interpolate_coset(
+        jnp.transpose(qvals), gl.GENERATOR
+    )  # [N, nc]
+    # degree < QUOTIENT_CHUNKS * n; truncate (higher coeffs vanish when the
+    # constraints hold; a corrupted trace surfaces in verification instead)
+    q_chunk_coeffs = []
+    for k in range(nc):
+        for j in range(QUOTIENT_CHUNKS):
+            q_chunk_coeffs.append(q_coeffs[j * n : (j + 1) * n, k])
+    q_chunk_coeffs = jnp.stack(q_chunk_coeffs, axis=1)  # [n, nc*chunks]
+    q_lde = ntt.lde_from_coeffs(q_chunk_coeffs, cfg.fri.rate_bits)
+    cap_h = min(cfg.fri.cap_height, q_lde.shape[0].bit_length() - 1)
+    q_tree = merkle.build_merkle_tree(q_lde, cap_h)
+    challenger.observe_cap(np.asarray(q_tree.cap))
+
+    # 4. openings at zeta and g*zeta
+    zeta = challenger.get_ext_challenge()
+    zeta_arr = jnp.asarray(np.array(zeta, dtype=np.uint64))
+    w_n = gl.primitive_root_of_unity(degree_bits)
+    gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
+
+    trace_zeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, zeta_arr)
+    trace_gzeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, gzeta_arr)
+    z_zeta = z_gzeta = None
+    if z_c is not None:
+        z_zeta = ntt.eval_polys_at_ext_point(z_c.coeffs, zeta_arr)
+        z_gzeta = ntt.eval_polys_at_ext_point(z_c.coeffs, gzeta_arr)
+    quotient_zeta = ntt.eval_polys_at_ext_point(q_chunk_coeffs, zeta_arr)
+
+    openings = StarkOpenings(
+        trace_zeta=np.asarray(trace_zeta),
+        trace_gzeta=np.asarray(trace_gzeta),
+        z_zeta=np.asarray(z_zeta) if z_zeta is not None else None,
+        z_gzeta=np.asarray(z_gzeta) if z_gzeta is not None else None,
+        quotient_zeta=np.asarray(quotient_zeta),
+    )
+    challenger.observe_elements(openings.flat_elements())
+
+    # 5. FRI batch opening proof
+    beta = challenger.get_ext_challenge()
+    beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
+
+    zeta_mats = [trace_c.lde] + ([z_c.lde] if z_c else []) + [q_lde]
+    zeta_ys = [trace_zeta] + ([z_zeta] if z_c else []) + [quotient_zeta]
+    gzeta_mats = [trace_c.lde] + ([z_c.lde] if z_c else [])
+    gzeta_ys = [trace_gzeta] + ([z_gzeta] if z_c else [])
+
+    f_values = _batch_opening_poly(
+        zeta_mats, zeta_ys, zeta_arr, gzeta_mats, gzeta_ys, gzeta_arr, beta_arr, n, cfg
+    )
+
+    oracles = [(trace_c.tree, trace_c.lde)]
+    if z_c is not None:
+        oracles.append((z_c.tree, z_c.lde))
+    oracles.append((q_tree, q_lde))
+
+    fri_proof = fri_prove(f_values, gl.GENERATOR, oracles, challenger, cfg.fri)
+
+    return StarkProof(
+        degree_bits=degree_bits,
+        trace_cap=np.asarray(trace_c.tree.cap),
+        z_cap=np.asarray(z_c.tree.cap) if z_c else None,
+        quotient_cap=np.asarray(q_tree.cap),
+        openings=openings,
+        fri=fri_proof,
+        public_inputs=pi_arr,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "cfg"))
+def _batch_opening_poly(
+    zeta_mats, zeta_ys, zeta_arr, gzeta_mats, gzeta_ys, gzeta_arr, beta_arr, n, cfg
+) -> jnp.ndarray:
+    """F(x) = G_zeta(x) + beta^{k0} * G_gzeta(x), where each G is the
+    beta-combined sum of (p_i(x) - y_i) / (x - point)."""
+    sels = _lde_selectors(n, cfg.fri.rate_bits)
+    xs = jnp.asarray(sels["xs"])  # [N] base domain points
+    x_ext = gl.ext_from_base(xs)  # [N, 2]
+
+    def group(mats, ys, point):
+        widths = [m.shape[1] for m in mats]
+        total = sum(widths)
+        w = gl.ext_powers_vec(beta_arr, total)  # [total, 2]
+        # S(x) = sum_t beta^t p_t(x): two base matvecs per component
+        s0 = None
+        s1 = None
+        c_acc = jnp.zeros((2,), dtype=jnp.uint64)
+        off = 0
+        for m, y in zip(mats, ys):
+            k = m.shape[1]
+            wk = w[off : off + k]  # [k, 2]
+            p0 = gl.sum_mod(gl.mul(m, wk[None, :, 0]), axis=1)  # [N]
+            p1 = gl.sum_mod(gl.mul(m, wk[None, :, 1]), axis=1)
+            s0 = p0 if s0 is None else gl.add(s0, p0)
+            s1 = p1 if s1 is None else gl.add(s1, p1)
+            c_acc = gl.ext_add(c_acc, _ext_dot(wk, y))
+            off += k
+        s = jnp.stack([s0, s1], axis=-1)  # [N, 2]
+        num = gl.ext_sub(s, jnp.broadcast_to(c_acc, s.shape))
+        den = gl.ext_sub(x_ext, jnp.broadcast_to(point, x_ext.shape))
+        return gl.ext_mul(num, gl.ext_inv(den)), total
+
+    g0, k0 = group(zeta_mats, zeta_ys, zeta_arr)
+    g1, _ = group(gzeta_mats, gzeta_ys, gzeta_arr)
+    beta_k0 = gl.ext_pow_const(beta_arr, k0)
+    return gl.ext_add(g0, gl.ext_mul(g1, jnp.broadcast_to(beta_k0, g1.shape)))
+
+
+def _ext_dot(w: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """sum_t w_t * y_t for extension vectors w, y: [k, 2] -> [2]."""
+    prod = gl.ext_mul(w, y)
+    return gl.sum_mod(prod, axis=0)

@@ -1,0 +1,262 @@
+"""STARK verifier: transcript replay, composition check at zeta, FRI checks.
+
+Replaces `starky::verifier::verify_stark_proof` (reference call sites e.g.
+src/fields/fq/exp.rs:626). The constraint recheck at zeta reuses the SAME
+`Air.eval` implementation the prover ran over LDE rows, now on extension
+scalars — the reference needs a hand-maintained `eval_ext_circuit` twin for
+this (src/fields/fq/exp.rs:396-541); here polymorphism removes that source
+of drift. Query-phase Merkle and fold checks are device-batched.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import goldilocks as gl
+from ..challenger import Challenger
+from .air import Air
+from .config import StarkConfig
+from .consumer import ConstraintConsumer
+from .field_expr import PublicInputsView, RowView, Val
+from .prover import QUOTIENT_CHUNKS, permutation_constraints
+from .fri import (
+    _fold_layer_sizes,
+    _pow_per_query,
+    check_pow,
+    fri_verify_query_layers,
+    verify_merkle_batch,
+)
+from .proof import StarkProof
+
+
+class VerificationError(Exception):
+    pass
+
+
+def _require(cond: bool, msg: str):
+    if not cond:
+        raise VerificationError(msg)
+
+
+def _ext_int(pair) -> jnp.ndarray:
+    return jnp.asarray(np.array(pair, dtype=np.uint64))
+
+
+def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
+    n = 1 << proof.degree_bits
+    n_lde = n << cfg.fri.rate_bits
+    nc = cfg.num_challenges
+    pairs = air.permutation_pairs()
+
+    _require(proof.openings.trace_zeta.shape == (air.num_columns, 2), "trace openings shape")
+    _require(
+        proof.openings.quotient_zeta.shape == (nc * QUOTIENT_CHUNKS, 2),
+        "quotient openings shape",
+    )
+    if pairs:
+        _require(proof.z_cap is not None, "missing z commitment")
+        _require(
+            proof.openings.z_zeta.shape == (nc * len(pairs), 2), "z openings shape"
+        )
+    _require(
+        proof.public_inputs.shape == (air.num_public_inputs,), "public inputs shape"
+    )
+
+    # ---- transcript replay -------------------------------------------------
+    challenger = Challenger()
+    challenger.observe_elements(proof.public_inputs)
+    challenger.observe_cap(proof.trace_cap)
+    gammas: list[int] = []
+    if pairs:
+        gammas = challenger.get_n_challenges(nc)
+        challenger.observe_cap(proof.z_cap)
+    alphas = challenger.get_n_challenges(nc)
+    challenger.observe_cap(proof.quotient_cap)
+    zeta = challenger.get_ext_challenge()
+    challenger.observe_elements(proof.openings.flat_elements())
+    beta = challenger.get_ext_challenge()
+
+    # FRI transcript: layer caps -> betas, final poly, grinding, indices
+    layer_sizes = _fold_layer_sizes(n_lde, cfg.fri)
+    _require(len(proof.fri.layer_caps) == len(layer_sizes), "fri layer count")
+    fri_betas = []
+    for cap in proof.fri.layer_caps:
+        challenger.observe_cap(cap)
+        fri_betas.append(challenger.get_ext_challenge())
+    final_domain = layer_sizes[-1] // 2 if layer_sizes else n_lde
+    _require(
+        proof.fri.final_coeffs.shape == (final_domain // cfg.fri.blowup, 2),
+        "final poly length",
+    )
+    challenger.observe_elements(proof.fri.final_coeffs.reshape(-1))
+    pow_seed = challenger.get_challenge()
+    _require(
+        check_pow(pow_seed, proof.fri.pow_nonce, cfg.fri.proof_of_work_bits),
+        "proof of work",
+    )
+    challenger.observe_element(proof.fri.pow_nonce)
+    indices = challenger.get_indices(cfg.fri.num_query_rounds, n_lde)
+    _require(len(proof.fri.query_rounds) == cfg.fri.num_query_rounds, "query count")
+
+    # ---- composition check at zeta ----------------------------------------
+    zeta_arr = _ext_int(zeta)
+    w_n = gl.primitive_root_of_unity(proof.degree_bits)
+    g_last = pow(w_n, n - 1, gl.P)
+
+    zeta_n = gl.ext_pow_const(zeta_arr, n)
+    one = jnp.asarray(np.array([1, 0], dtype=np.uint64))
+    zh = gl.ext_sub(zeta_n, one)
+    n_inv = pow(n, gl.P - 2, gl.P)
+    z_last_v = gl.ext_sub(zeta_arr, _ext_int((g_last, 0)))
+    l_first = gl.ext_mul(
+        gl.mul(zh, jnp.asarray(np.uint64(n_inv))),
+        gl.ext_inv(gl.ext_sub(zeta_arr, one)),
+    )
+    l_last = gl.ext_mul(
+        gl.mul(zh, jnp.asarray(np.uint64(g_last * n_inv % gl.P))),
+        gl.ext_inv(z_last_v),
+    )
+
+    lv = RowView(jnp.asarray(proof.openings.trace_zeta), ext=True)
+    nv = RowView(jnp.asarray(proof.openings.trace_gzeta), ext=True)
+    pi = PublicInputsView(jnp.asarray(proof.public_inputs), ext=True)
+    alphas_v = [Val(_ext_int((a, 0)), True) for a in alphas]
+    cc = ConstraintConsumer(
+        alphas_v,
+        z_last=Val(z_last_v, True),
+        l_first=Val(l_first, True),
+        l_last=Val(l_last, True),
+    )
+    air.eval(lv, nv, pi, cc)
+    if pairs:
+        z_lv = RowView(jnp.asarray(proof.openings.z_zeta), ext=True)
+        z_nv = RowView(jnp.asarray(proof.openings.z_gzeta), ext=True)
+        gammas_v = [Val(_ext_int((g, 0)), True) for g in gammas]
+        permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv, cc, True)
+    accs = cc.final_accs()
+
+    q_open = jnp.asarray(proof.openings.quotient_zeta)  # [nc*chunks, 2]
+    for k in range(nc):
+        q_zeta = q_open[k * QUOTIENT_CHUNKS]
+        for j in range(1, QUOTIENT_CHUNKS):
+            zeta_nj = gl.ext_pow_const(zeta_arr, n * j)
+            q_zeta = gl.ext_add(
+                q_zeta, gl.ext_mul(zeta_nj, q_open[k * QUOTIENT_CHUNKS + j])
+            )
+        lhs = accs[k].arr
+        rhs = gl.ext_mul(zh, q_zeta)
+        _require(
+            bool(np.asarray((lhs == rhs).all())), f"composition mismatch (alpha {k})"
+        )
+
+    # ---- FRI query checks (batched over queries) ---------------------------
+    idx_np = np.array(indices, dtype=np.int64)
+    idx_j = jnp.asarray(idx_np)
+    num_oracles = 2 + (1 if pairs else 0)
+    caps = [proof.trace_cap] + ([proof.z_cap] if pairs else []) + [proof.quotient_cap]
+    for o in range(num_oracles):
+        leaves = jnp.asarray(
+            np.stack([qr.initial_leaves[o] for qr in proof.fri.query_rounds])
+        )
+        paths = jnp.asarray(
+            np.stack([qr.initial_paths[o] for qr in proof.fri.query_rounds])
+        )
+        _require(
+            verify_merkle_batch(leaves, idx_j, paths, jnp.asarray(caps[o])),
+            f"initial merkle check failed (oracle {o})",
+        )
+
+    # recompute F at the query points from the (verified) initial leaves
+    f_at_idx = _recompute_f(
+        proof, pairs, idx_j, zeta_arr, beta, n_lde, cfg
+    )
+
+    layer_leaves = []
+    layer_paths = []
+    for k in range(len(layer_sizes)):
+        layer_leaves.append(
+            jnp.asarray(np.stack([qr.layer_leaves[k] for qr in proof.fri.query_rounds]))
+        )
+        layer_paths.append(
+            jnp.asarray(np.stack([qr.layer_paths[k] for qr in proof.fri.query_rounds]))
+        )
+    _require(
+        fri_verify_query_layers(
+            f_at_idx,
+            idx_np,
+            layer_leaves,
+            layer_paths,
+            proof.fri.layer_caps,
+            fri_betas,
+            proof.fri.final_coeffs,
+            n_lde,
+            gl.GENERATOR,
+            cfg.fri,
+        ),
+        "fri fold/final-poly check failed",
+    )
+    return True
+
+
+def _recompute_f(
+    proof: StarkProof,
+    pairs,
+    idx_j: jnp.ndarray,
+    zeta_arr: jnp.ndarray,
+    beta,
+    n_lde: int,
+    cfg: StarkConfig,
+) -> jnp.ndarray:
+    """F(x_i) per query from initial leaf rows (mirrors _batch_opening_poly)."""
+    beta_arr = _ext_int(beta)
+    w_big = gl.primitive_root_of_unity(n_lde.bit_length() - 1)
+    xs = gl.mul(_pow_per_query(w_big, idx_j, n_lde), jnp.asarray(np.uint64(gl.GENERATOR)))
+    x_ext = gl.ext_from_base(xs)  # [Q, 2]
+
+    has_z = bool(pairs)
+    o_trace, o_z, o_q = 0, (1 if has_z else None), (2 if has_z else 1)
+
+    def leaves(o):
+        return jnp.asarray(
+            np.stack([qr.initial_leaves[o] for qr in proof.fri.query_rounds])
+        )  # [Q, width]
+
+    zeta_rows = [leaves(o_trace)] + ([leaves(o_z)] if has_z else []) + [leaves(o_q)]
+    zeta_ys = (
+        [jnp.asarray(proof.openings.trace_zeta)]
+        + ([jnp.asarray(proof.openings.z_zeta)] if has_z else [])
+        + [jnp.asarray(proof.openings.quotient_zeta)]
+    )
+    gzeta_rows = [leaves(o_trace)] + ([leaves(o_z)] if has_z else [])
+    gzeta_ys = [jnp.asarray(proof.openings.trace_gzeta)] + (
+        [jnp.asarray(proof.openings.z_gzeta)] if has_z else []
+    )
+    w_n = gl.primitive_root_of_unity(proof.degree_bits)
+    gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
+
+    def group(rows, ys, point):
+        total = sum(r.shape[1] for r in rows)
+        w = gl.ext_powers_vec(beta_arr, total)
+        s0 = s1 = None
+        c_acc = jnp.zeros((2,), dtype=jnp.uint64)
+        off = 0
+        for r, y in zip(rows, ys):
+            k = r.shape[1]
+            wk = w[off : off + k]
+            p0 = gl.sum_mod(gl.mul(r, wk[None, :, 0]), axis=1)  # [Q]
+            p1 = gl.sum_mod(gl.mul(r, wk[None, :, 1]), axis=1)
+            s0 = p0 if s0 is None else gl.add(s0, p0)
+            s1 = p1 if s1 is None else gl.add(s1, p1)
+            prod = gl.ext_mul(wk, y)
+            c_acc = gl.ext_add(c_acc, gl.sum_mod(prod, axis=0))
+            off += k
+        s = jnp.stack([s0, s1], axis=-1)  # [Q, 2]
+        num = gl.ext_sub(s, jnp.broadcast_to(c_acc, s.shape))
+        den = gl.ext_sub(x_ext, jnp.broadcast_to(point, x_ext.shape))
+        return gl.ext_mul(num, gl.ext_inv(den)), total
+
+    g0, k0 = group(zeta_rows, zeta_ys, zeta_arr)
+    g1, _ = group(gzeta_rows, gzeta_ys, gzeta_arr)
+    beta_k0 = gl.ext_pow_const(beta_arr, k0)
+    return gl.ext_add(g0, gl.ext_mul(g1, jnp.broadcast_to(beta_k0, g1.shape)))

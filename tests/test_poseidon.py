@@ -1,0 +1,94 @@
+"""Poseidon / Merkle / challenger tests."""
+
+import numpy as np
+
+from starky_bn254_tpu import challenger as ch
+from starky_bn254_tpu import goldilocks as gl
+from starky_bn254_tpu import merkle, poseidon
+
+RNG = np.random.default_rng(2)
+
+
+def rand_elems(shape):
+    flat = [int(RNG.integers(0, 1 << 62)) % gl.P for _ in range(int(np.prod(shape)))]
+    return np.array(flat, dtype=np.uint64).reshape(shape)
+
+
+def test_permute_host_device_match():
+    state = rand_elems((poseidon.WIDTH,))
+    dev = np.asarray(poseidon.permute(gl.u64(state)))
+    host = ch._permute_host([int(x) for x in state])
+    assert [int(x) for x in dev] == host
+
+
+def test_permute_batched_consistent():
+    states = rand_elems((5, poseidon.WIDTH))
+    batched = np.asarray(poseidon.permute(gl.u64(states)))
+    for i in range(5):
+        single = np.asarray(poseidon.permute(gl.u64(states[i])))
+        assert np.array_equal(batched[i], single)
+
+
+def test_permute_not_identity_and_deterministic():
+    state = rand_elems((poseidon.WIDTH,))
+    a = np.asarray(poseidon.permute(gl.u64(state)))
+    b = np.asarray(poseidon.permute(gl.u64(state)))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, state)
+
+
+def test_hash_no_pad_multi_chunk():
+    # 10 elements = chunk of 8 + chunk of 2; check against manual spongeing
+    data = rand_elems((10,))
+    got = np.asarray(poseidon.hash_no_pad(gl.u64(data)))
+    state = [0] * poseidon.WIDTH
+    state[:8] = [int(x) for x in data[:8]]
+    state = ch._permute_host(state)
+    state[:2] = [int(x) for x in data[8:]]
+    state = ch._permute_host(state)
+    assert [int(x) for x in got] == state[:4]
+
+
+def test_merkle_tree_and_proofs():
+    leaves = rand_elems((32, 7))
+    tree = merkle.build_merkle_tree(gl.u64(leaves), cap_height=2)
+    assert tree.cap.shape == (4, 4)
+    for idx in [0, 5, 31]:
+        path = tree.prove(idx)
+        assert path.shape == (3, 4)  # 5 levels - 2 cap levels
+        ok = merkle.verify_merkle_proof(gl.u64(leaves[idx]), idx, path, tree.cap)
+        assert ok
+    # tampered leaf fails
+    bad = leaves[5].copy()
+    bad[0] ^= 1
+    assert not merkle.verify_merkle_proof(gl.u64(bad), 5, tree.prove(5), tree.cap)
+
+
+def test_challenger_determinism_and_sensitivity():
+    def run(vals):
+        c = ch.Challenger()
+        c.observe_elements(np.array(vals, dtype=np.uint64))
+        return c.get_n_challenges(4)
+
+    a = run([1, 2, 3])
+    b = run([1, 2, 3])
+    c = run([1, 2, 4])
+    assert a == b
+    assert a != c
+    assert all(0 <= x < gl.P for x in a)
+
+
+def test_challenger_interleaved_observe():
+    c1 = ch.Challenger()
+    c1.observe_elements(np.array([7, 8], dtype=np.uint64))
+    x1 = c1.get_challenge()
+    c1.observe_element(9)
+    y1 = c1.get_challenge()
+
+    c2 = ch.Challenger()
+    c2.observe_elements(np.array([7, 8], dtype=np.uint64))
+    x2 = c2.get_challenge()
+    c2.observe_element(9)
+    y2 = c2.get_challenge()
+    assert (x1, y1) == (x2, y2)
+    assert x1 != y1
