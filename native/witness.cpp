@@ -1,0 +1,494 @@
+// Native witness generator for the modular-reduction gadget.
+//
+// The reference does this work in Rust with num-bigint per row
+// (src/modular/modular.rs:38-100); our Python fallback uses exact ints.
+// This module is the hot host-side path: batched computation of the
+// modular-op witness (output, quotient, aux polynomial split) for arrays of
+// signed 31-coefficient limb polynomials, plus batched Fq inversion so
+// EC-lambda witnesses can stay in limb arrays end to end.
+//
+// Arithmetic: 16-bit limb interface, 32-bit digit long division (Knuth
+// algorithm D) against the fixed BN254 modulus, __int128 intermediates.
+// Build: see build.sh (g++ -O3 -shared -fPIC). Interface: plain C ABI for
+// ctypes.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int N16 = 16;        // 16-bit limbs per 256-bit value
+constexpr int WIDE = 31;       // 2*N16 - 1
+constexpr int N32 = 8;         // 32-bit digits per 256-bit value
+constexpr int64_t AUX_MAX = (int64_t)1 << 29;
+
+// BN254 base modulus, little-endian 32-bit digits
+const uint32_t P32[N32] = {
+    0xd87cfd47u, 0x3c208c16u, 0x6871ca8du, 0x97816a91u,
+    0x8181585du, 0xb85045b6u, 0xe131a029u, 0x30644e72u,
+};
+
+struct U288 {  // up to 512-bit magnitudes: use 17 x 32-bit digits (544 bits)
+    uint32_t d[18];
+};
+
+// ---------------------------------------------------------------------------
+// helpers on raw digit arrays (little endian, base 2^32)
+// ---------------------------------------------------------------------------
+
+int digits_norm(const uint32_t* a, int n) {
+    while (n > 0 && a[n - 1] == 0) n--;
+    return n;
+}
+
+int digits_cmp(const uint32_t* a, int na, const uint32_t* b, int nb) {
+    na = digits_norm(a, na);
+    nb = digits_norm(b, nb);
+    if (na != nb) return na < nb ? -1 : 1;
+    for (int i = na - 1; i >= 0; i--) {
+        if (a[i] != b[i]) return a[i] < b[i] ? -1 : 1;
+    }
+    return 0;
+}
+
+// a -= b (a >= b), lengths na >= nb
+void digits_sub(uint32_t* a, int na, const uint32_t* b, int nb) {
+    int64_t borrow = 0;
+    for (int i = 0; i < na; i++) {
+        int64_t bi = i < nb ? (int64_t)b[i] : 0;
+        int64_t t = (int64_t)a[i] - bi - borrow;
+        if (t < 0) {
+            t += ((int64_t)1 << 32);
+            borrow = 1;
+        } else {
+            borrow = 0;
+        }
+        a[i] = (uint32_t)t;
+    }
+}
+
+// Knuth algorithm D: q, r = u / v with v = P32 (8 digits). u has nu digits
+// (<= 16). q gets up to nu-7 digits, r gets 8 digits.
+void divmod_p(const uint32_t* u_in, int nu, uint32_t* q_out, int* nq_out,
+              uint32_t* r_out) {
+    nu = digits_norm(u_in, nu);
+    const int nv = N32;
+    std::memset(q_out, 0, sizeof(uint32_t) * 10);
+    std::memset(r_out, 0, sizeof(uint32_t) * N32);
+    if (digits_cmp(u_in, nu, P32, nv) < 0) {
+        for (int i = 0; i < nu; i++) r_out[i] = u_in[i];
+        *nq_out = 0;
+        return;
+    }
+    // normalize: shift so that top digit of v has high bit set
+    uint32_t vtop = P32[nv - 1];
+    int s = 0;
+    while (!(vtop & 0x80000000u)) {
+        vtop <<= 1;
+        s++;
+    }
+    uint32_t vn[N32];
+    for (int i = nv - 1; i > 0; i--)
+        vn[i] = (s == 0) ? P32[i]
+                         : (P32[i] << s) | (P32[i - 1] >> (32 - s));
+    vn[0] = P32[0] << s;
+
+    uint32_t un[19];
+    std::memset(un, 0, sizeof(un));
+    if (s == 0) {
+        for (int i = 0; i < nu; i++) un[i] = u_in[i];
+        un[nu] = 0;
+    } else {
+        un[0] = u_in[0] << s;
+        for (int i = 1; i < nu; i++)
+            un[i] = (u_in[i] << s) | (u_in[i - 1] >> (32 - s));
+        un[nu] = u_in[nu - 1] >> (32 - s);
+    }
+
+    int m = nu - nv;  // q has m+1 digits
+    for (int j = m; j >= 0; j--) {
+        unsigned __int128 num =
+            ((unsigned __int128)un[j + nv] << 32) | un[j + nv - 1];
+        uint64_t qhat = (uint64_t)(num / vn[nv - 1]);
+        uint64_t rhat = (uint64_t)(num % vn[nv - 1]);
+        while (qhat >= ((uint64_t)1 << 32) ||
+               (unsigned __int128)qhat * vn[nv - 2] >
+                   (((unsigned __int128)rhat << 32) | un[j + nv - 2])) {
+            qhat--;
+            rhat += vn[nv - 1];
+            if (rhat >= ((uint64_t)1 << 32)) break;
+        }
+        // multiply-subtract
+        __int128 borrow = 0;
+        uint64_t carry = 0;
+        for (int i = 0; i < nv; i++) {
+            unsigned __int128 p = (unsigned __int128)qhat * vn[i] + carry;
+            carry = (uint64_t)(p >> 32);
+            int64_t t = (int64_t)un[i + j] - (int64_t)(uint32_t)p - (int64_t)borrow;
+            if (t < 0) {
+                t += ((int64_t)1 << 32);
+                borrow = 1;
+            } else {
+                borrow = 0;
+            }
+            un[i + j] = (uint32_t)t;
+        }
+        int64_t t = (int64_t)un[j + nv] - (int64_t)carry - (int64_t)borrow;
+        if (t < 0) {
+            // add back
+            t += ((int64_t)1 << 32);
+            un[j + nv] = (uint32_t)t;
+            qhat--;
+            uint64_t c2 = 0;
+            for (int i = 0; i < nv; i++) {
+                uint64_t sum = (uint64_t)un[i + j] + vn[i] + c2;
+                un[i + j] = (uint32_t)sum;
+                c2 = sum >> 32;
+            }
+            un[j + nv] += (uint32_t)c2;
+        } else {
+            un[j + nv] = (uint32_t)t;
+        }
+        q_out[j] = (uint32_t)qhat;
+    }
+    // denormalize remainder
+    for (int i = 0; i < nv; i++) {
+        uint32_t hi = (i + 1 < nv) ? un[i + 1] : 0;
+        r_out[i] = (s == 0) ? un[i] : (un[i] >> s) | (hi << (32 - s));
+    }
+    *nq_out = digits_norm(q_out, m + 1);
+}
+
+// value of a signed 31-coeff polynomial at 2^16 -> (sign, magnitude digits)
+// coefficients |c| < 2^63
+void poly_value(const int64_t* c, int n, int* sign_out, uint32_t* mag,
+                int* nmag) {
+    // accumulate into signed 16-bit-limb representation with carries
+    // limb count: 31 coeffs + overflow headroom
+    int64_t limbs[40];
+    std::memset(limbs, 0, sizeof(limbs));
+    for (int i = 0; i < n; i++) limbs[i] = c[i];
+    // carry-normalize into balanced limbs, then fix sign at the end
+    int64_t carry = 0;
+    for (int i = 0; i < 40; i++) {
+        int64_t t = limbs[i] + carry;
+        int64_t lo = t & 0xFFFF;
+        carry = (t - lo) >> 16;
+        limbs[i] = lo;
+    }
+    // carry must be 0 or -1 here; if -1, the value is negative:
+    // value = sum(limbs) - 2^(16*40)... handle by two's complement fix
+    int sign = 1;
+    if (carry < 0) {
+        sign = -1;
+        // negate: value = -(2^(16*40) - sum limbs)
+        int64_t borrow = 0;
+        for (int i = 0; i < 40; i++) {
+            int64_t t = 0 - limbs[i] - borrow;
+            if (t < 0) {
+                t += 1 << 16;
+                borrow = 1;
+            } else {
+                borrow = 0;
+            }
+            limbs[i] = t;
+        }
+        // borrow out of the top cancels against carry==-1
+    } else if (carry > 0) {
+        // positive overflow cannot happen for our inputs (< 2^512)
+        sign = 1;
+    }
+    std::memset(mag, 0, sizeof(uint32_t) * 20);
+    for (int i = 0; i < 20; i++) {
+        uint64_t v = (uint64_t)(limbs[2 * i] & 0xFFFF) |
+                     ((uint64_t)(limbs[2 * i + 1] & 0xFFFF) << 16);
+        mag[i] = (uint32_t)v;
+    }
+    *nmag = digits_norm(mag, 20);
+    // zero check
+    if (*nmag == 0) sign = 1;
+    *sign_out = sign;
+}
+
+void digits_to_u16(const uint32_t* d, int nd, uint16_t* out, int n16) {
+    std::memset(out, 0, sizeof(uint16_t) * n16);
+    for (int i = 0; i < nd && 2 * i < n16; i++) {
+        out[2 * i] = (uint16_t)(d[i] & 0xFFFF);
+        if (2 * i + 1 < n16) out[2 * i + 1] = (uint16_t)(d[i] >> 16);
+    }
+}
+
+const uint16_t* p16_limbs() {
+    static uint16_t p16[N16];
+    static bool init = false;
+    if (!init) {
+        digits_to_u16(P32, N32, p16, N16);
+        init = true;
+    }
+    return p16;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched modular-op witness.
+//   pol_inputs: [n][31] signed coefficients
+//   zero_op: 0 => full op (output + out_aux_red written), 1 => modular-zero
+// Outputs (all little-endian u16 limb cells as uint64 field values):
+//   outputs:     [n][16]
+//   out_aux_red: [n][16]
+//   quot_abs:    [n][17]
+//   aux_lo:      [n][31]
+//   aux_hi:      [n][31]
+//   signs:       [n]      (1 or 0; 0 encodes NEG_ONE, caller maps to p-1)
+// Returns 0 on success, row index+1 of the first inconsistency otherwise.
+int64_t batch_modular_witness(int64_t n, const int64_t* pol_inputs,
+                              int32_t zero_op, uint16_t* outputs,
+                              uint16_t* out_aux_red, uint16_t* quot_abs,
+                              uint16_t* aux_lo, uint16_t* aux_hi,
+                              uint8_t* signs) {
+    const uint16_t* p16 = p16_limbs();
+    for (int64_t r = 0; r < n; r++) {
+        const int64_t* c = pol_inputs + r * WIDE;
+        int sign, nmag;
+        uint32_t mag[20];
+        poly_value(c, WIDE, &sign, mag, &nmag);
+        if (nmag > 17) return r + 1;  // |value| must fit ~544 bits
+
+        uint32_t q[10], rem[N32];
+        int nq;
+        divmod_p(mag, nmag, q, &nq, rem);
+
+        // floor semantics for signed values
+        // value = sign * (q*p + rem)
+        int64_t out16[N16];
+        int qsign = 1;
+        uint32_t qq[10];
+        std::memcpy(qq, q, sizeof(qq));
+        int rem_zero = digits_norm(rem, N32) == 0;
+        if (sign >= 0) {
+            // output = rem, quot = q
+        } else {
+            if (rem_zero) {
+                qsign = (nq == 0) ? 1 : -1;
+            } else {
+                // output = p - rem; quot = -(q+1)
+                uint32_t tmp[N32];
+                std::memcpy(tmp, P32, sizeof(tmp));
+                digits_sub(tmp, N32, rem, N32);
+                std::memcpy(rem, tmp, sizeof(tmp));
+                // qq += 1
+                uint64_t carry = 1;
+                for (int i = 0; i < 10 && carry; i++) {
+                    uint64_t s2 = (uint64_t)qq[i] + carry;
+                    qq[i] = (uint32_t)s2;
+                    carry = s2 >> 32;
+                }
+                qsign = -1;
+            }
+        }
+        if (zero_op) {
+            if (!rem_zero && sign >= 0) return r + 1;
+            if (sign < 0 && digits_norm(rem, N32) != 0) {
+                // for zero_op the value must be divisible
+                return r + 1;
+            }
+        }
+
+        uint16_t out_l[N16], q_l[N16 + 4];
+        digits_to_u16(rem, N32, out_l, N16);
+        digits_to_u16(qq, 10, q_l, N16 + 4);
+        // quotient must fit the 17-limb witness column
+        if (q_l[N16 + 1] != 0 || q_l[N16 + 2] != 0 || q_l[N16 + 3] != 0)
+            return r + 1;
+
+        if (!zero_op) {
+            for (int i = 0; i < N16; i++) outputs[r * N16 + i] = out_l[i];
+            // out_aux_red = 2^256 - p + output  (fits 256 bits iff output < p)
+            uint32_t oar[9];
+            std::memset(oar, 0, sizeof(oar));
+            // compute output - p + 2^256: output < p so do (2^256 - p) + output
+            // 2^256 - p:
+            uint32_t two256mp[9];
+            std::memset(two256mp, 0, sizeof(two256mp));
+            two256mp[8] = 1;  // 2^256 as digit 8
+            // subtract p
+            {
+                int64_t borrow = 0;
+                for (int i = 0; i < 9; i++) {
+                    int64_t pi = i < N32 ? (int64_t)P32[i] : 0;
+                    int64_t t = (int64_t)two256mp[i] - pi - borrow;
+                    if (t < 0) {
+                        t += (int64_t)1 << 32;
+                        borrow = 1;
+                    } else {
+                        borrow = 0;
+                    }
+                    two256mp[i] = (uint32_t)t;
+                }
+            }
+            uint64_t carry = 0;
+            for (int i = 0; i < 9; i++) {
+                uint64_t s2 =
+                    (uint64_t)two256mp[i] + (i < N32 ? rem[i] : 0) + carry;
+                oar[i] = (uint32_t)s2;
+                carry = s2 >> 32;
+            }
+            if (oar[8] != 0) return r + 1;  // output >= p (impossible)
+            uint16_t oar16[N16];
+            digits_to_u16(oar, 8, oar16, N16);
+            for (int i = 0; i < N16; i++)
+                out_aux_red[r * N16 + i] = oar16[i];
+        }
+        for (int i = 0; i < N16 + 1; i++) quot_abs[r * (N16 + 1) + i] = q_l[i];
+        signs[r] = qsign > 0 ? 1 : 0;
+
+        // constr(x) = pol_input - output - qsigned(x) * p(x), 32 coeffs
+        int64_t constr[2 * N16];
+        std::memset(constr, 0, sizeof(constr));
+        for (int i = 0; i < WIDE; i++) constr[i] = c[i];
+        if (!zero_op) {
+            for (int i = 0; i < N16; i++)
+                constr[i] -= (int64_t)outputs[r * N16 + i];
+        }
+        for (int i = 0; i < N16 + 1; i++) {
+            int64_t qi = (int64_t)q_l[i] * qsign;
+            for (int j = 0; j < N16; j++) constr[i + j] -= qi * (int64_t)p16[j];
+        }
+        // exact division by (x - 2^16), top-down (division-free)
+        int64_t aux[2 * N16];
+        std::memset(aux, 0, sizeof(aux));
+        int d = 2 * N16 - 1;  // degree bound; constr[31] should vanish
+        aux[d - 1] = constr[d];
+        for (int i = d - 1; i > 0; i--)
+            aux[i - 1] = constr[i] + ((int64_t)1 << 16) * aux[i];
+        if (constr[0] + ((int64_t)1 << 16) * aux[0] != 0) return r + 1;
+        if (aux[WIDE] != 0) return r + 1;
+        for (int i = 0; i < WIDE; i++) {
+            int64_t v = aux[i] + AUX_MAX;
+            if (v < 0 || v > 2 * AUX_MAX) return r + 1;
+            aux_lo[r * WIDE + i] = (uint16_t)(v & 0xFFFF);
+            aux_hi[r * WIDE + i] = (uint16_t)(v >> 16);
+        }
+    }
+    return 0;
+}
+
+// Batched Fq inversion (extended Euclid), limbs in/out.
+// Returns 0 on success, row+1 if a value is zero / not invertible.
+int64_t batch_fq_inv(int64_t n, const uint16_t* in_limbs, uint16_t* out_limbs) {
+    for (int64_t r = 0; r < n; r++) {
+        // convert to 4x64
+        unsigned __int128 dummy = 0;
+        (void)dummy;
+        uint64_t a[4] = {0, 0, 0, 0}, p[4];
+        for (int i = 0; i < N16; i++) {
+            a[i / 4] |= (uint64_t)in_limbs[r * N16 + i] << (16 * (i % 4));
+        }
+        const uint16_t* p16 = p16_limbs();
+        for (int i = 0; i < 4; i++) p[i] = 0;
+        for (int i = 0; i < N16; i++)
+            p[i / 4] |= (uint64_t)p16[i] << (16 * (i % 4));
+
+        // binary extended gcd over 256-bit values
+        auto is_zero = [](const uint64_t* x) {
+            return !(x[0] | x[1] | x[2] | x[3]);
+        };
+        auto is_even = [](const uint64_t* x) { return (x[0] & 1) == 0; };
+        auto shr1 = [](uint64_t* x) {
+            for (int i = 0; i < 3; i++) x[i] = (x[i] >> 1) | (x[i + 1] << 63);
+            x[3] >>= 1;
+        };
+        auto geq = [](const uint64_t* x, const uint64_t* y) {
+            for (int i = 3; i >= 0; i--) {
+                if (x[i] != y[i]) return x[i] > y[i];
+            }
+            return true;
+        };
+        auto sub = [](uint64_t* x, const uint64_t* y) {
+            unsigned __int128 borrow = 0;
+            for (int i = 0; i < 4; i++) {
+                unsigned __int128 t =
+                    (unsigned __int128)x[i] - y[i] - (uint64_t)borrow;
+                x[i] = (uint64_t)t;
+                borrow = (t >> 64) ? 1 : 0;
+            }
+        };
+        auto add_nored = [](uint64_t* x, const uint64_t* y) {
+            // plain 256-bit add (no reduction); callers guarantee no overflow
+            unsigned __int128 carry = 0;
+            for (int i = 0; i < 4; i++) {
+                unsigned __int128 t =
+                    (unsigned __int128)x[i] + y[i] + (uint64_t)carry;
+                x[i] = (uint64_t)t;
+                carry = t >> 64;
+            }
+        };
+
+        if (is_zero(a)) return r + 1;
+        uint64_t u[4], v[4], b[4] = {1, 0, 0, 0}, c[4] = {0, 0, 0, 0};
+        std::memcpy(u, a, sizeof(u));
+        std::memcpy(v, p, sizeof(v));
+        // invariant: b*a === u, c*a === v (mod p)
+        while (!is_zero(u)) {
+            while (is_even(u)) {
+                shr1(u);
+                if (is_even(b)) {
+                    shr1(b);
+                } else {
+                    // b = (b + p) / 2 -- p odd so b+p even
+                    unsigned __int128 carry = 0;
+                    uint64_t t[4];
+                    for (int i = 0; i < 4; i++) {
+                        unsigned __int128 s2 =
+                            (unsigned __int128)b[i] + p[i] + (uint64_t)carry;
+                        t[i] = (uint64_t)s2;
+                        carry = s2 >> 64;
+                    }
+                    for (int i = 0; i < 3; i++)
+                        t[i] = (t[i] >> 1) | (t[i + 1] << 63);
+                    t[3] = (t[3] >> 1) | ((uint64_t)carry << 63);
+                    std::memcpy(b, t, sizeof(t));
+                }
+            }
+            while (is_even(v)) {
+                shr1(v);
+                if (is_even(c)) {
+                    shr1(c);
+                } else {
+                    unsigned __int128 carry = 0;
+                    uint64_t t[4];
+                    for (int i = 0; i < 4; i++) {
+                        unsigned __int128 s2 =
+                            (unsigned __int128)c[i] + p[i] + (uint64_t)carry;
+                        t[i] = (uint64_t)s2;
+                        carry = s2 >> 64;
+                    }
+                    for (int i = 0; i < 3; i++)
+                        t[i] = (t[i] >> 1) | (t[i + 1] << 63);
+                    t[3] = (t[3] >> 1) | ((uint64_t)carry << 63);
+                    std::memcpy(c, t, sizeof(t));
+                }
+            }
+            if (geq(u, v)) {
+                sub(u, v);
+                // b = b - c (mod p): lift b by p first if needed
+                if (!geq(b, c)) add_nored(b, p);
+                sub(b, c);
+            } else {
+                sub(v, u);
+                if (!geq(c, b)) add_nored(c, p);
+                sub(c, b);
+            }
+        }
+        // v should be 1; c is the inverse
+        if (v[0] != 1 || v[1] || v[2] || v[3]) return r + 1;
+        for (int i = 0; i < N16; i++)
+            out_limbs[r * N16 + i] =
+                (uint16_t)((c[i / 4] >> (16 * (i % 4))) & 0xFFFF);
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -21,7 +21,8 @@ jax.config.update("jax_enable_x64", True)
 # makes repeated runs (tests, benches) start fast.
 import os as _os
 
-_cache_dir = _os.environ.get("STARKY_JAX_CACHE", "/tmp/starky_jax_cache")
+_repo_cache = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache")
+_cache_dir = _os.environ.get("STARKY_JAX_CACHE", _repo_cache)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

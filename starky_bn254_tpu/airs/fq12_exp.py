@@ -1,0 +1,231 @@
+"""Fq12 exponentiation AIR: output = offset * x^exp in the BN254 Fq12 tower.
+
+Equivalent of reference `Fq12ExpStark` (src/fields/fq12/exp.rs): the same
+512-row double-and-add machine as FqExpAir over 12-coefficient Fq12 values.
+
+Row layout (fq12/exp.rs:1-34):
+  [ a(12*16) | b(12*16) | Fq12Output(84*16) | flags(14) ]  = 1742 main cols
+  + periodic(2) + io-pulses(1+4*num_io)
+  + split-u16 range check over cols 24*N_LIMBS .. 108*N_LIMBS-12
+    (outputs + aux; operands a/b are pinned by transition equality).
+Public IO per instance (36*N_LIMBS + 8): x/offset/output as 12x16 u16 limbs,
+exp_val as 8 u32 limbs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import bn254
+from ..gadgets import flags as fl
+from ..gadgets import fq12 as fq12g
+from ..gadgets import pulse as pu
+from ..gadgets import range_check as rc
+from ..gadgets.equals import vec_equal, vec_equal_transition
+from ..stark.air import Air
+from ..stark.field_expr import Val
+from ..utils.conversions import N_LIMBS, fq_to_u32_limbs, int_to_limbs
+from .fq_exp import u16_to_u32_lanes  # noqa: F401 (API parity)
+
+NUM_MAIN = 108 * N_LIMBS + fl.NUM_FLAGS_COLS  # 1742
+START_FLAGS = 108 * N_LIMBS
+START_RANGE_CHECK = 24 * N_LIMBS
+NUM_RANGE_CHECK = 84 * N_LIMBS - 12  # 1332
+RANGE_TARGETS = list(range(START_RANGE_CHECK, START_RANGE_CHECK + NUM_RANGE_CHECK))
+FQ12_EXP_IO_LEN = 36 * N_LIMBS + fl.NUM_INPUT_LIMBS  # 584
+ROWS_PER_BLOCK = fl.NUM_FLAG_ROWS
+
+
+class Fq12ExpAir(Air):
+    def __init__(self, num_io: int):
+        self.num_io = num_io
+        self.start_periodic = NUM_MAIN
+        self.start_io_pulses = NUM_MAIN + 2
+        self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        self.num_columns = self.start_lookups + 1 + 6 * NUM_RANGE_CHECK
+        self.num_public_inputs = FQ12_EXP_IO_LEN * num_io
+
+    def pulse_positions(self) -> list[int]:
+        pos = []
+        for i in range(self.num_io):
+            pos += [i * ROWS_PER_BLOCK, i * ROWS_PER_BLOCK + ROWS_PER_BLOCK - 1]
+        return pos
+
+    # ------------------------------------------------------------------ trace
+    def generate_trace_and_pi(self, inputs) -> tuple[np.ndarray, np.ndarray]:
+        """inputs: per instance (x: Fq12, offset: Fq12, exp_val: int)."""
+        assert len(inputs) == self.num_io
+        io = self.num_io
+        n = ROWS_PER_BLOCK * io
+
+        exp_limbs = np.array(
+            [fq_to_u32_limbs(e % (1 << 256)) for (_, _, e) in inputs], dtype=np.uint64
+        )
+        flag_rows = fl.generate_flag_columns(exp_limbs)
+        main = np.zeros((io, ROWS_PER_BLOCK, NUM_MAIN), dtype=np.uint64)
+        main[:, :, START_FLAGS:] = flag_rows
+
+        a_val = [x for (x, _, _) in inputs]
+        b_val = [off for (_, off, _) in inputs]
+        from .. import native
+
+        if native.available():
+            from ..gadgets import fq12_batch as fb
+
+            def to_arr(vals):
+                return np.array(
+                    [[int_to_limbs(v) for v in f.to_fq_list()] for f in vals],
+                    dtype=np.uint64,
+                )
+
+            al = to_arr(a_val)  # [io, 12, 16]
+            bl = to_arr(b_val)
+            for r in range(ROWS_PER_BLOCK):
+                main[:, r, : 12 * N_LIMBS] = al.reshape(io, -1)
+                main[:, r, 12 * N_LIMBS : 24 * N_LIMBS] = bl.reshape(io, -1)
+                if flag_rows[0, r, 2] == 1:
+                    cells, out = fb.fq12_mul_cells_batch(al, al, None)
+                    al = out
+                else:
+                    mask = flag_rows[:, r, 4] == 1
+                    cells, out = fb.fq12_mul_cells_batch(al, bl, mask)
+                    bl = np.where(mask[:, None, None], out, bl)
+                main[:, r, 24 * N_LIMBS : 108 * N_LIMBS] = cells
+            from ..utils.conversions import limbs_to_int as _l2i
+
+            b_val = [
+                bn254.Fq12.from_fq_list([_l2i(bl[i, k]) for k in range(12)])
+                for i in range(io)
+            ]
+        else:
+            for r in range(ROWS_PER_BLOCK):
+                for i in range(io):
+                    for k, v in enumerate(a_val[i].to_fq_list()):
+                        main[i, r, k * N_LIMBS : (k + 1) * N_LIMBS] = int_to_limbs(v)
+                    for k, v in enumerate(b_val[i].to_fq_list()):
+                        main[i, r, (12 + k) * N_LIMBS : (13 + k) * N_LIMBS] = (
+                            int_to_limbs(v)
+                        )
+                    is_sq = flag_rows[i, r, 2] == 1
+                    is_mul = flag_rows[i, r, 4] == 1
+                    if is_sq:
+                        w = fq12g.generate_fq12_mul(a_val[i], a_val[i])
+                        a_val[i] = w["product"]
+                    elif is_mul:
+                        w = fq12g.generate_fq12_mul(a_val[i], b_val[i])
+                        b_val[i] = w["product"]
+                    else:
+                        w = fq12g.zero_fq12_output()
+                    main[i, r, 24 * N_LIMBS : 108 * N_LIMBS] = np.array(
+                        w["cells"], dtype=np.uint64
+                    )
+
+        for i, (x, off, e) in enumerate(inputs):
+            expected = off * x.pow(e)
+            assert b_val[i].to_fq_list() == expected.to_fq_list(), (
+                "Fq12 trace generation mismatch vs oracle"
+            )
+
+        trace = main.reshape(n, NUM_MAIN)
+        periodic = pu.generate_periodic_pulse_witness(
+            trace[:, START_FLAGS + 1],
+            2 * fl.INPUT_LIMB_BITS,
+            2 * fl.INPUT_LIMB_BITS - 2,
+        )
+        io_pulses = pu.generate_pulse(n, self.pulse_positions())
+        base = np.concatenate([trace, periodic, io_pulses], axis=1)
+        rc_cols = rc.generate_split_u16_range_check(base, RANGE_TARGETS)
+        trace_full = np.concatenate([base, rc_cols], axis=1)
+        assert trace_full.shape[1] == self.num_columns
+
+        pi = []
+        for i, (x, off, e) in enumerate(inputs):
+            for v in x.to_fq_list():
+                pi += int_to_limbs(v)
+            for v in off.to_fq_list():
+                pi += int_to_limbs(v)
+            pi += fq_to_u32_limbs(e % (1 << 256))
+            for v in b_val[i].to_fq_list():
+                pi += int_to_limbs(v)
+        return trace_full, np.array(pi, dtype=np.uint64)
+
+    def permutation_pairs(self):
+        return rc.split_u16_range_check_pairs(self.start_lookups, NUM_RANGE_CHECK)
+
+    # ------------------------------------------------------------ constraints
+    def eval(self, lv, nv, pi, cc):
+        io = self.num_io
+        s = START_FLAGS
+        a = [lv.cols(k * N_LIMBS, (k + 1) * N_LIMBS) for k in range(12)]
+        b = [lv.cols((12 + k) * N_LIMBS, (13 + k) * N_LIMBS) for k in range(12)]
+        out = fq12g.Fq12OutputView(lv, 24 * N_LIMBS)
+
+        is_final = lv.col(s)
+        is_sq = lv.col(s + 2)
+        is_mul = lv.col(s + 4)
+        not_final = 1 - is_final
+
+        sum_out = None
+        for i in range(io):
+            v = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
+            sum_out = v if sum_out is None else sum_out + v
+        cc.constraint(is_final - sum_out)
+
+        # public IO: direct u16 limb equality (fq12/exp.rs io format)
+        limbs = lv.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
+        first = Val(
+            limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
+        )
+        rest = Val(
+            limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
+        )
+        restored0 = first * 2 + is_mul.lane()
+        for i in range(io):
+            off = FQ12_EXP_IO_LEN * i
+            is_in = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i))
+            is_out = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
+            for k in range(12):
+                x_pi = pi.cols(off + k * N_LIMBS, off + (k + 1) * N_LIMBS)
+                vec_equal(cc, is_in, x_pi, a[k])
+            off2 = off + 12 * N_LIMBS
+            for k in range(12):
+                o_pi = pi.cols(off2 + k * N_LIMBS, off2 + (k + 1) * N_LIMBS)
+                vec_equal(cc, is_in, o_pi, b[k])
+            off3 = off2 + 12 * N_LIMBS
+            ev = pi.cols(off3, off3 + 8)
+            ev0 = Val(ev.arr[..., 0:1, :] if ev.ext else ev.arr[..., 0:1], ev.ext)
+            ev_rest = Val(ev.arr[..., 1:, :] if ev.ext else ev.arr[..., 1:], ev.ext)
+            vec_equal(cc, is_in, ev0, restored0)
+            vec_equal(cc, is_in, ev_rest, rest)
+            off4 = off3 + 8
+            for k in range(12):
+                u_pi = pi.cols(off4 + k * N_LIMBS, off4 + (k + 1) * N_LIMBS)
+                vec_equal(cc, is_out, u_pi, b[k])
+
+        # state transition
+        n_a = [nv.cols(k * N_LIMBS, (k + 1) * N_LIMBS) for k in range(12)]
+        n_b = [nv.cols((12 + k) * N_LIMBS, (13 + k) * N_LIMBS) for k in range(12)]
+        neither = 1 - is_sq - is_mul
+        for k in range(12):
+            vec_equal_transition(cc, not_final * is_sq, n_a[k], out.output[k])
+            vec_equal_transition(cc, not_final * is_sq, n_b[k], b[k])
+            vec_equal_transition(cc, not_final * is_mul, n_a[k], a[k])
+            vec_equal_transition(cc, not_final * is_mul, n_b[k], out.output[k])
+            vec_equal_transition(cc, not_final * neither, n_a[k], a[k])
+            vec_equal_transition(cc, not_final * neither, n_b[k], b[k])
+
+        fl.eval_flags(cc, lv, nv, START_FLAGS)
+        fq12g.eval_fq12_mul(cc, is_sq, a, a, out)
+        fq12g.eval_fq12_mul(cc, is_mul, a, b, out)
+
+        pu.eval_periodic_pulse(
+            cc,
+            lv,
+            nv,
+            START_FLAGS + 1,
+            self.start_periodic,
+            2 * fl.INPUT_LIMB_BITS,
+            2 * fl.INPUT_LIMB_BITS - 2,
+        )
+        pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
+        rc.eval_split_u16_range_check(cc, lv, nv, self.start_lookups, RANGE_TARGETS)

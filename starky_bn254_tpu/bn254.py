@@ -237,14 +237,67 @@ def g1_neg(p):
 
 
 def g1_mul(p, k: int):
-    result = None
-    base = p
+    """Scalar multiplication via Jacobian coordinates (one final inversion)."""
+    if p is None or k == 0:
+        return None
+
+    def jdouble(P):
+        if P is None:
+            return None
+        X, Y, Z = P
+        A = X * X % P_BN
+        B = Y * Y % P_BN
+        C = B * B % P_BN
+        D = 2 * ((X + B) * (X + B) - A - C) % P_BN
+        E = 3 * A % P_BN
+        F = E * E % P_BN
+        X3 = (F - 2 * D) % P_BN
+        Y3 = (E * (D - X3) - 8 * C) % P_BN
+        Z3 = 2 * Y * Z % P_BN
+        return (X3, Y3, Z3)
+
+    def jadd(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = Z1 * Z1 % P_BN
+        Z2Z2 = Z2 * Z2 % P_BN
+        U1 = X1 * Z2Z2 % P_BN
+        U2 = X2 * Z1Z1 % P_BN
+        S1 = Y1 * Z2 * Z2Z2 % P_BN
+        S2 = Y2 * Z1 * Z1Z1 % P_BN
+        H = (U2 - U1) % P_BN
+        r = (S2 - S1) % P_BN
+        if H == 0:
+            if r == 0:
+                return jdouble(P)
+            return None
+        HH = H * H % P_BN
+        HHH = H * HH % P_BN
+        V = U1 * HH % P_BN
+        X3 = (r * r - HHH - 2 * V) % P_BN
+        Y3 = (r * (V - X3) - S1 * HHH) % P_BN
+        Z3 = Z1 * Z2 * H % P_BN
+        return (X3, Y3, Z3)
+
+    acc = None
+    base = (p[0], p[1], 1)
     while k > 0:
         if k & 1:
-            result = g1_add(result, base)
-        base = g1_double(base)
+            acc = jadd(acc, base)
+        base = jdouble(base)
         k >>= 1
-    return result
+    if acc is None:
+        return None
+    X, Y, Z = acc
+    if Z == 0:
+        return None
+    zinv = fq_inv(Z)
+    z2 = zinv * zinv % P_BN
+    return (X * z2 % P_BN, Y * z2 % P_BN * zinv % P_BN)
 
 
 # ----------------------------------------------------------------------------
@@ -308,11 +361,66 @@ def g2_neg(p):
 
 
 def g2_mul(p, k: int):
-    result = None
-    base = p
+    """Scalar multiplication via Jacobian coordinates over Fq2."""
+    if p is None or k == 0:
+        return None
+    one2 = (1, 0)
+
+    def jdouble(P):
+        if P is None:
+            return None
+        X, Y, Z = P
+        A = fq2_mul(X, X)
+        B = fq2_mul(Y, Y)
+        C = fq2_mul(B, B)
+        t = fq2_add(X, B)
+        D = fq2_scalar(fq2_sub(fq2_sub(fq2_mul(t, t), A), C), 2)
+        E = fq2_scalar(A, 3)
+        F = fq2_mul(E, E)
+        X3 = fq2_sub(F, fq2_scalar(D, 2))
+        Y3 = fq2_sub(fq2_mul(E, fq2_sub(D, X3)), fq2_scalar(C, 8))
+        Z3 = fq2_scalar(fq2_mul(Y, Z), 2)
+        return (X3, Y3, Z3)
+
+    def jadd(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = fq2_mul(Z1, Z1)
+        Z2Z2 = fq2_mul(Z2, Z2)
+        U1 = fq2_mul(X1, Z2Z2)
+        U2 = fq2_mul(X2, Z1Z1)
+        S1 = fq2_mul(fq2_mul(Y1, Z2), Z2Z2)
+        S2 = fq2_mul(fq2_mul(Y2, Z1), Z1Z1)
+        H = fq2_sub(U2, U1)
+        r = fq2_sub(S2, S1)
+        if H == (0, 0):
+            if r == (0, 0):
+                return jdouble(P)
+            return None
+        HH = fq2_mul(H, H)
+        HHH = fq2_mul(H, HH)
+        V = fq2_mul(U1, HH)
+        X3 = fq2_sub(fq2_sub(fq2_mul(r, r), HHH), fq2_scalar(V, 2))
+        Y3 = fq2_sub(fq2_mul(r, fq2_sub(V, X3)), fq2_mul(S1, HHH))
+        Z3 = fq2_mul(fq2_mul(Z1, Z2), H)
+        return (X3, Y3, Z3)
+
+    acc = None
+    base = (p[0], p[1], one2)
     while k > 0:
         if k & 1:
-            result = g2_add(result, base)
-        base = g2_double(base)
+            acc = jadd(acc, base)
+        base = jdouble(base)
         k >>= 1
-    return result
+    if acc is None:
+        return None
+    X, Y, Z = acc
+    if Z == (0, 0):
+        return None
+    zinv = fq2_inv(Z)
+    z2 = fq2_mul(zinv, zinv)
+    return (fq2_mul(X, z2), fq2_mul(fq2_mul(Y, z2), zinv))

@@ -1,0 +1,146 @@
+"""Offset-chaining composition: the library's MSM / multi-exp recipe.
+
+Re-derivation of the reference's composition mechanism (test_g1_msm,
+src/curves/g1/circuit.rs:458-509; G2 analogue circuit.rs:392-443; Fq12
+products fq12_u64/circuit.rs:437-489): Sum(x_i * s_i) is proven by wiring
+instance i's `offset` to instance i-1's `output`, seeding the chain with a
+known point (the generator) and subtracting it from the final output. One
+STARK proof then covers the whole MSM; the chain links are plain public-input
+equalities checked alongside verification.
+
+Padding follows reference circuit.rs:273-278: repeat the last instance up to
+the next power of two.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import bn254
+from ..airs.fq12_exp import FQ12_EXP_IO_LEN
+from ..airs.fq12_exp_u64 import FQ12_EXP_U64_IO_LEN
+from ..airs.g1_exp import G1_EXP_IO_LEN
+from ..airs.g2_exp import G2_EXP_IO_LEN
+from ..utils.conversions import N_LIMBS, u32_limbs_to_int
+
+
+def pad_instances(inputs: list, min_size: int = 1) -> list:
+    """Pad to the next power of two >= min_size by repeating the last entry."""
+    n = max(len(inputs), min_size)
+    size = 1 << (n - 1).bit_length()
+    return list(inputs) + [inputs[-1]] * (size - len(inputs))
+
+
+def _u32s(pi, start):
+    return u32_limbs_to_int([int(v) for v in pi[start : start + 8]])
+
+
+def _u16s(pi, start):
+    return sum(int(v) << (16 * k) for k, v in enumerate(pi[start : start + N_LIMBS]))
+
+
+class G1Msm:
+    """Prove/verify sum(s_i * P_i) on G1 with one G1ExpAir proof."""
+
+    def build_inputs(self, points: list, scalars: list[int]):
+        """Returns (air_inputs, expected_msm_result)."""
+        assert len(points) == len(scalars) >= 1
+        inputs = []
+        offset = bn254.G1_GEN
+        for p, s in zip(points, scalars):
+            inputs.append((p, offset, s))
+            offset = bn254.g1_add(bn254.g1_mul(p, s), offset)
+        result = bn254.g1_add(offset, bn254.g1_neg(bn254.G1_GEN))
+        return inputs, result
+
+    def check_chain(self, public_inputs: np.ndarray, num_io: int, result) -> bool:
+        """Verify the offset chain and the claimed MSM result against the
+        public inputs of a (separately verified) proof."""
+        pi = public_inputs
+
+        def point_at(i, field):  # field: 0=x,1=offset,3=output
+            base = G1_EXP_IO_LEN * i + {0: 0, 1: 16, 3: 40}[field]
+            return (_u32s(pi, base), _u32s(pi, base + 8))
+
+        if point_at(0, 1) != bn254.G1_GEN:
+            return False
+        for i in range(1, num_io):
+            if point_at(i, 1) != point_at(i - 1, 3):
+                return False
+        final = point_at(num_io - 1, 3)
+        return bn254.g1_add(final, bn254.g1_neg(bn254.G1_GEN)) == result
+
+
+class G2Msm:
+    def build_inputs(self, points: list, scalars: list[int]):
+        assert len(points) == len(scalars) >= 1
+        inputs = []
+        offset = bn254.G2_GEN
+        for p, s in zip(points, scalars):
+            inputs.append((p, offset, s))
+            offset = bn254.g2_add(bn254.g2_mul(p, s), offset)
+        result = bn254.g2_add(offset, bn254.g2_neg(bn254.G2_GEN))
+        return inputs, result
+
+    def check_chain(self, public_inputs: np.ndarray, num_io: int, result) -> bool:
+        pi = public_inputs
+
+        def point_at(i, field):  # 0=x, 1=offset, 3=output (4 fq each)
+            base = G2_EXP_IO_LEN * i + {0: 0, 1: 32, 3: 72}[field]
+            vals = [_u32s(pi, base + 8 * k) for k in range(4)]
+            return ((vals[0], vals[1]), (vals[2], vals[3]))
+
+        if point_at(0, 1) != bn254.G2_GEN:
+            return False
+        for i in range(1, num_io):
+            if point_at(i, 1) != point_at(i - 1, 3):
+                return False
+        final = point_at(num_io - 1, 3)
+        return bn254.g2_add(final, bn254.g2_neg(bn254.G2_GEN)) == result
+
+
+class Fq12MultiExp:
+    """Prove prod(x_i^(e_i)) in Fq12 by multiplicative offset chaining
+    (reference fq12_u64/circuit.rs:437-489). Works for both the 256-bit and
+    u64 exponent AIRs (io_len selects the layout)."""
+
+    def __init__(self, u64: bool = False):
+        self.u64 = u64
+        self.io_len = FQ12_EXP_U64_IO_LEN if u64 else FQ12_EXP_IO_LEN
+
+    def build_inputs(self, xs: list, exps: list[int]):
+        assert len(xs) == len(exps) >= 1
+        inputs = []
+        offset = bn254.Fq12.one()
+        for x, e in zip(xs, exps):
+            inputs.append((x, offset, e))
+            offset = offset * x.pow(e if not self.u64 else e % (1 << 64))
+        return inputs, offset
+
+    def check_chain(self, public_inputs: np.ndarray, num_io: int, result) -> bool:
+        pi = public_inputs
+
+        def fq12_at(i, which):  # which: 0=x, 1=offset, 2=output
+            base = self.io_len * i
+            if which == 0:
+                start = base
+            elif which == 1:
+                start = base + 12 * N_LIMBS
+            else:
+                start = base + 24 * N_LIMBS + (1 if self.u64 else 8)
+            vals = [_u16s(pi, start + k * N_LIMBS) for k in range(12)]
+            return bn254.Fq12.from_fq_list(vals)
+
+        if fq12_at(0, 1).to_fq_list() != bn254.Fq12.one().to_fq_list():
+            return False
+        for i in range(1, num_io):
+            if fq12_at(i, 1).to_fq_list() != fq12_at(i - 1, 2).to_fq_list():
+                return False
+        return fq12_at(num_io - 1, 2).to_fq_list() == result.to_fq_list()
+
+
+def g2_mul_by_cofactor_input(p) -> tuple:
+    """One G2ExpAir instance computing cofactor * P (reference
+    g2/circuit.rs:335-367, cofactor constant :346-349). Combined with a
+    map-to-curve this gives hash-to-G2."""
+    return (p, bn254.G2_GEN, bn254.G2_COFACTOR)

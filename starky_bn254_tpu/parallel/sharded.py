@@ -1,0 +1,145 @@
+"""Sharded proving pipeline over a jax.sharding.Mesh.
+
+The trace's two natural parallel axes (SURVEY.md section 2's parallelism
+mapping) are columns (hundreds of independent polynomials for NTT/LDE) and
+rows (constraint evaluation, Merkle leaves). The pipeline:
+
+  1. column-sharded INTT + coset LDE       — fully local, zero collectives
+     (the NTT runs along rows, which every device holds completely for its
+     column slice);
+  2. all_to_all reshard columns -> rows    — one collective transpose;
+  3. row-sharded Merkle leaf hashing + local subtrees, then an all_gather of
+     the per-device subtree roots finishes the tiny top levels everywhere;
+  4. row-sharded constraint composition    — `next` rows that cross a shard
+     boundary arrive by ppermute from the right neighbor.
+
+FRI folding currently gathers the (small) batched-opening polynomial and
+folds replicated; distributing the first folds over ICI is the next
+optimization. The reference has no distributed path at all (rayon only,
+SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import goldilocks as gl
+from .. import ntt, poseidon
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def pad_cols(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    c = x.shape[1]
+    pad = (-c) % d
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+def sharded_commit(mesh: Mesh, values: jnp.ndarray, rate_bits: int, cap_height: int):
+    """Distributed trace commitment.
+
+    values: [n, C] (will be padded to a multiple of the mesh size in C).
+    Returns (lde row-sharded [N, C_pad], leaf digests [N, 4], cap [2^cap, 4]).
+    """
+    d = mesh.devices.size
+    axis = mesh.axis_names[0]
+    values = pad_cols(values, d)
+    n, c = values.shape
+    big_n = n << rate_bits
+    assert big_n % d == 0 and (big_n // d) >= (1 << cap_height) // d
+
+    col_sharding = NamedSharding(mesh, P(None, axis))
+    values = jax.device_put(values, col_sharding)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    def commit_local(vals):
+        # vals: [n, C/d] local columns — local NTT along rows
+        coeffs = ntt.interpolate_coeffs(vals)
+        lde = ntt.lde_from_coeffs(coeffs, rate_bits)  # [N, C/d]
+        # collective transpose: columns -> rows
+        # [N, C/d] -> [d, N/d, C/d] -> all_to_all -> [d, N/d, C/d] gathered
+        blocks = lde.reshape(d, big_n // d, c // d)
+        swapped = jax.lax.all_to_all(blocks, axis, 0, 0, tiled=False)
+        # swapped: [d, N/d, C/d]; concat the column blocks back together
+        rows = jnp.concatenate([swapped[k] for k in range(d)], axis=1)  # [N/d, C]
+        digests = poseidon.hash_or_noop(rows)  # [N/d, 4]
+        return rows, digests
+
+    lde_rows, leaf_digests = commit_local(values)
+
+    # finish the tree: local subtrees then replicated top
+    levels = _tree_levels(mesh, leaf_digests, cap_height, big_n)
+    return lde_rows, levels
+
+
+def _tree_levels(mesh: Mesh, leaf_digests: jnp.ndarray, cap_height: int, big_n: int):
+    """Builds all Merkle levels: per-shard subtrees + replicated top levels."""
+    d = mesh.devices.size
+    axis = mesh.axis_names[0]
+    local_n = big_n // d
+
+    # local subtrees reduce to one root per device, then the (tiny) top
+    # levels run replicated from an all_gather of the subtree roots.
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def subtree_root(digests):
+        cur = digests
+        while cur.shape[0] > 1:
+            cur = poseidon.compress(cur[0::2], cur[1::2])
+        return jax.lax.all_gather(cur, axis).reshape(-1, 4)
+
+    roots = subtree_root(leaf_digests)  # [d, 4] replicated
+    cap_size = 1 << cap_height
+    cur = roots
+    tops = [roots]
+    while cur.shape[0] > cap_size:
+        cur = poseidon.compress(cur[0::2], cur[1::2])
+        tops.append(cur)
+    return {"leaf_digests": leaf_digests, "subtree_roots": roots, "cap": tops[-1]}
+
+
+def sharded_composition(
+    mesh: Mesh,
+    eval_rows_fn,
+    lde_rows: jnp.ndarray,
+    blowup: int,
+):
+    """Row-sharded constraint evaluation: each device evaluates its row block;
+    the `next` rows for the last `blowup` local rows come from the right
+    neighbor by ppermute (cyclic)."""
+    d = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis)
+    )
+    def run(rows):
+        head = rows[:blowup]  # my first rows -> left neighbor's tail `next`
+        perm = [(i, (i - 1) % d) for i in range(d)]
+        neighbor_head = jax.lax.ppermute(head, axis, perm)
+        nxt = jnp.concatenate([rows[blowup:], neighbor_head], axis=0)
+        return eval_rows_fn(rows, nxt)
+
+    return run(lde_rows)

@@ -113,17 +113,26 @@ permute = jax.jit(_permute_impl)
 def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
     """Fixed-length overwrite-mode sponge: [..., n] -> [..., 4] digest.
 
-    Absorbs rate-sized chunks by overwriting the rate portion and permuting
-    after each chunk (including a final partial chunk), then squeezes the
-    first 4 state elements.
+    The input is zero-padded to a multiple of RATE, then absorbed as full
+    rate-sized chunks (overwrite mode) via a lax.scan, so the compiled graph
+    holds ONE permutation regardless of leaf width (Merkle leaves can be
+    thousands of cells wide for the Fq12 AIRs).
     """
     *batch, n = inputs.shape
-    state = jnp.zeros((*batch, WIDTH), dtype=jnp.uint64)
-    for start in range(0, n, RATE):
-        chunk = inputs[..., start : start + RATE]
-        w = chunk.shape[-1]
-        state = state.at[..., :w].set(chunk)
-        state = permute(state)
+    n_chunks = max((n + RATE - 1) // RATE, 1)
+    padded = jnp.zeros((*batch, n_chunks * RATE), dtype=jnp.uint64)
+    padded = padded.at[..., :n].set(inputs)
+    # [chunks, ...batch, RATE]
+    chunks = jnp.moveaxis(padded.reshape(*batch, n_chunks, RATE), -2, 0)
+    # derive the zero state from the input so device-varying axis annotations
+    # propagate correctly under shard_map (scan carry must match)
+    state = jnp.zeros((*batch, WIDTH), dtype=jnp.uint64) + inputs[..., :1] * np.uint64(0)
+
+    def body(st, chunk):
+        st = st.at[..., :RATE].set(chunk)
+        return permute(st), None
+
+    state, _ = jax.lax.scan(body, state, chunks)
     return state[..., :4]
 
 

@@ -63,15 +63,23 @@ class ConstraintConsumer:
         return v, 1
 
     def _alpha_powers(self, idx: int, k: int) -> tuple[Val, Val]:
-        """(alpha^k, lane-stacked weights[j] = alpha^{k-1-j})."""
+        """(alpha^k, lane-stacked weights[j] = alpha^{k-1-j}).
+
+        Log-depth scan rather than an unrolled mul chain — with hundreds of
+        lanes per constraint the chain was dominating the composition graph.
+        """
         key = (idx, k)
         if key not in self._pow_cache:
             alpha = self.alphas[idx]
-            plist = [_one_like(alpha)]
-            for _ in range(k):
-                plist.append(plist[-1] * alpha)
-            weights = stack_vals([plist[k - 1 - j] for j in range(k)])
-            self._pow_cache[key] = (plist[k], weights)
+            if alpha.ext:
+                pows = gl.ext_powers_vec(alpha.arr, k + 1)  # [k+1, 2]
+                apow_k = Val(pows[k], True)
+                weights = Val(jnp.flip(pows[:k], axis=0), True)
+            else:
+                pows = gl.powers_vec(alpha.arr, k + 1)
+                apow_k = Val(pows[k], False)
+                weights = Val(jnp.flip(pows[:k]), False)
+            self._pow_cache[key] = (apow_k, weights)
         return self._pow_cache[key]
 
     def _accumulate(self, v: Val):

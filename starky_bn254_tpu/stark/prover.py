@@ -242,7 +242,12 @@ def prove(
     trace: jnp.ndarray,  # [n, C] u64
     public_inputs: np.ndarray,  # [P] u64
     cfg: StarkConfig,
+    timing=None,
 ) -> StarkProof:
+    from ..utils.timing import TimingTree
+
+    tt = timing if timing is not None else TimingTree("prove")
+
     n, num_cols = trace.shape
     assert num_cols == air.num_columns, (num_cols, air.num_columns)
     assert n & (n - 1) == 0
@@ -254,7 +259,8 @@ def prove(
     challenger.observe_elements(pi_arr)
 
     # 1. trace commitment
-    trace_c = commit(trace, cfg)
+    with tt.scope("trace commit"):
+        trace_c = commit(trace, cfg)
     challenger.observe_cap(np.asarray(trace_c.tree.cap))
 
     # 2. permutation Z columns
@@ -263,23 +269,27 @@ def prove(
     gammas: list[int] = []
     if pairs:
         gammas = challenger.get_n_challenges(nc)
-        z_cols = compute_z_columns(trace, pairs, gammas)
-        z_c = commit(z_cols, cfg)
+        with tt.scope("permutation Z commit"):
+            z_cols = compute_z_columns(trace, pairs, gammas)
+            z_c = commit(z_cols, cfg)
         challenger.observe_cap(np.asarray(z_c.tree.cap))
 
     # 3. constraint composition -> quotient chunks
     alphas = challenger.get_n_challenges(nc)
-    qvals = evaluate_composition(
-        air,
-        trace_c.lde,
-        z_c.lde if z_c else None,
-        jnp.asarray(pi_arr),
-        alphas,
-        gammas,
-        n,
-        cfg,
-    )  # [nc, N]
+    with tt.scope("constraint composition"):
+        qvals = evaluate_composition(
+            air,
+            trace_c.lde,
+            z_c.lde if z_c else None,
+            jnp.asarray(pi_arr),
+            alphas,
+            gammas,
+            n,
+            cfg,
+        )  # [nc, N]
     # interpolate quotient over the LDE coset, split into degree-n chunks
+    tt_q = tt.scope("quotient commit")
+    tt_q.__enter__()
     q_coeffs = ntt.interpolate_coset(
         jnp.transpose(qvals), gl.GENERATOR
     )  # [N, nc]
@@ -295,19 +305,22 @@ def prove(
     q_tree = merkle.build_merkle_tree(q_lde, cap_h)
     challenger.observe_cap(np.asarray(q_tree.cap))
 
+    tt_q.__exit__(None, None, None)
+
     # 4. openings at zeta and g*zeta
     zeta = challenger.get_ext_challenge()
     zeta_arr = jnp.asarray(np.array(zeta, dtype=np.uint64))
     w_n = gl.primitive_root_of_unity(degree_bits)
     gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
 
-    trace_zeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, zeta_arr)
-    trace_gzeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, gzeta_arr)
-    z_zeta = z_gzeta = None
-    if z_c is not None:
-        z_zeta = ntt.eval_polys_at_ext_point(z_c.coeffs, zeta_arr)
-        z_gzeta = ntt.eval_polys_at_ext_point(z_c.coeffs, gzeta_arr)
-    quotient_zeta = ntt.eval_polys_at_ext_point(q_chunk_coeffs, zeta_arr)
+    with tt.scope("openings"):
+        trace_zeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, zeta_arr)
+        trace_gzeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, gzeta_arr)
+        z_zeta = z_gzeta = None
+        if z_c is not None:
+            z_zeta = ntt.eval_polys_at_ext_point(z_c.coeffs, zeta_arr)
+            z_gzeta = ntt.eval_polys_at_ext_point(z_c.coeffs, gzeta_arr)
+        quotient_zeta = ntt.eval_polys_at_ext_point(q_chunk_coeffs, zeta_arr)
 
     openings = StarkOpenings(
         trace_zeta=np.asarray(trace_zeta),
@@ -336,7 +349,9 @@ def prove(
         oracles.append((z_c.tree, z_c.lde))
     oracles.append((q_tree, q_lde))
 
-    fri_proof = fri_prove(f_values, gl.GENERATOR, oracles, challenger, cfg.fri)
+    with tt.scope("fri"):
+        fri_proof = fri_prove(f_values, gl.GENERATOR, oracles, challenger, cfg.fri)
+    tt.finish()
 
     return StarkProof(
         degree_bits=degree_bits,

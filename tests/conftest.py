@@ -12,10 +12,12 @@ the interpreter once with the axon env stripped before anything imports jax.
 import os
 import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and "jax" not in sys.modules:
+if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
+    "_STARKY_TEST_REEXEC"
+):
     env = dict(os.environ)
+    env["_STARKY_TEST_REEXEC"] = "1"
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,45 @@
+"""Sharded pipeline must be bit-identical to the single-chip path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from starky_bn254_tpu import merkle, ntt, poseidon
+from starky_bn254_tpu.parallel import sharded
+
+RNG = np.random.default_rng(21)
+
+
+def test_sharded_commit_matches_single_chip():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = sharded.make_mesh(8)
+    n, c, rate_bits, cap_height = 64, 16, 1, 1
+    trace = jnp.asarray(RNG.integers(0, 1 << 16, size=(n, c), dtype=np.uint64))
+
+    lde_rows, tree = sharded.sharded_commit(mesh, trace, rate_bits, cap_height)
+
+    coeffs = ntt.interpolate_coeffs(trace)
+    lde = ntt.lde_from_coeffs(coeffs, rate_bits)
+    assert np.array_equal(np.asarray(lde_rows), np.asarray(lde))
+
+    single = merkle.build_merkle_tree(lde, cap_height)
+    assert np.array_equal(np.asarray(tree["cap"]), np.asarray(single.cap))
+
+
+def test_sharded_composition_boundary_rows():
+    mesh = sharded.make_mesh(8)
+    n = 64
+    blowup = 2
+    rows = jnp.asarray(
+        np.arange(n, dtype=np.uint64)[:, None] * np.ones((1, 3), dtype=np.uint64)
+    )
+
+    def eval_rows(lv, nv):
+        # next-row difference; cyclically the last rows wrap to the first
+        return nv[:, 0] - lv[:, 0]
+
+    out = np.asarray(sharded.sharded_composition(mesh, eval_rows, rows, blowup))
+    expect = np.roll(np.arange(n, dtype=np.uint64), -blowup) - np.arange(
+        n, dtype=np.uint64
+    )
+    assert np.array_equal(out, expect)

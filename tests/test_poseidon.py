@@ -44,7 +44,8 @@ def test_hash_no_pad_multi_chunk():
     state = [0] * poseidon.WIDTH
     state[:8] = [int(x) for x in data[:8]]
     state = ch._permute_host(state)
-    state[:2] = [int(x) for x in data[8:]]
+    # final partial chunk is zero-padded to the full rate (overwrite mode)
+    state[:8] = [int(x) for x in data[8:]] + [0] * 6
     state = ch._permute_host(state)
     assert [int(x) for x in got] == state[:4]
 
