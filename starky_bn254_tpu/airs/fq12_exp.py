@@ -37,12 +37,15 @@ ROWS_PER_BLOCK = fl.NUM_FLAG_ROWS
 
 
 class Fq12ExpAir(Air):
-    def __init__(self, num_io: int):
+    def __init__(self, num_io: int, range_check: str = "logup"):
         self.num_io = num_io
+        assert range_check in ("split", "logup")
+        self.range_check = range_check
         self.start_periodic = NUM_MAIN
         self.start_io_pulses = NUM_MAIN + 2
         self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
-        self.num_columns = self.start_lookups + 1 + 6 * NUM_RANGE_CHECK
+        self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
+        self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = FQ12_EXP_IO_LEN * num_io
 
     def pulse_positions(self) -> list[int]:
@@ -134,7 +137,7 @@ class Fq12ExpAir(Air):
         )
         io_pulses = pu.generate_pulse(n, self.pulse_positions())
         base = np.concatenate([trace, periodic, io_pulses], axis=1)
-        rc_cols = rc.generate_split_u16_range_check(base, RANGE_TARGETS)
+        rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
 
@@ -150,7 +153,10 @@ class Fq12ExpAir(Air):
         return trace_full, np.array(pi, dtype=np.uint64)
 
     def permutation_pairs(self):
-        return rc.split_u16_range_check_pairs(self.start_lookups, NUM_RANGE_CHECK)
+        return self.rc_spec.pairs()
+
+    def lookup_tables(self):
+        return self.rc_spec.tables()
 
     # ------------------------------------------------------------ constraints
     def eval(self, lv, nv, pi, cc):
@@ -228,4 +234,4 @@ class Fq12ExpAir(Air):
             2 * fl.INPUT_LIMB_BITS - 2,
         )
         pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
-        rc.eval_split_u16_range_check(cc, lv, nv, self.start_lookups, RANGE_TARGETS)
+        self.rc_spec.eval(cc, lv, nv)

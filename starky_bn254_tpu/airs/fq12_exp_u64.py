@@ -33,11 +33,14 @@ ROWS_PER_BLOCK = fl64.NUM_FLAG_U64_ROWS  # 128
 
 
 class Fq12ExpU64Air(Air):
-    def __init__(self, num_io: int):
+    def __init__(self, num_io: int, range_check: str = "logup"):
         self.num_io = num_io
+        assert range_check in ("split", "logup")
+        self.range_check = range_check
         self.start_io_pulses = NUM_MAIN
         self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
-        self.num_columns = self.start_lookups + 1 + 6 * NUM_RANGE_CHECK
+        self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
+        self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = FQ12_EXP_U64_IO_LEN * num_io
 
     def pulse_positions(self) -> list[int]:
@@ -119,7 +122,7 @@ class Fq12ExpU64Air(Air):
         trace = main.reshape(n, NUM_MAIN)
         io_pulses = pu.generate_pulse(n, self.pulse_positions())
         base = np.concatenate([trace, io_pulses], axis=1)
-        rc_cols = rc.generate_split_u16_range_check(base, RANGE_TARGETS)
+        rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
 
@@ -139,7 +142,10 @@ class Fq12ExpU64Air(Air):
         return trace_full, arr
 
     def permutation_pairs(self):
-        return rc.split_u16_range_check_pairs(self.start_lookups, NUM_RANGE_CHECK)
+        return self.rc_spec.pairs()
+
+    def lookup_tables(self):
+        return self.rc_spec.tables()
 
     # ------------------------------------------------------------ constraints
     def eval(self, lv, nv, pi, cc):
@@ -196,4 +202,4 @@ class Fq12ExpU64Air(Air):
         fq12g.eval_fq12_mul(cc, is_mul, a, b, out)
 
         pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
-        rc.eval_split_u16_range_check(cc, lv, nv, self.start_lookups, RANGE_TARGETS)
+        self.rc_spec.eval(cc, lv, nv)

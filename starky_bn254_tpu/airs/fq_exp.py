@@ -63,15 +63,15 @@ class FqExpAir(Air):
     def __init__(self, num_io: int, range_check: str = "auto"):
         self.num_io = num_io
         if range_check == "auto":
-            range_check = "u16" if num_io >= 128 else "split"
-        assert range_check in ("u16", "split")
+            range_check = "u16" if num_io >= 128 else "logup"
+        assert range_check in ("u16", "split", "logup")
         self.range_check = range_check
 
         self.start_periodic = NUM_MAIN
         self.start_io_pulses = NUM_MAIN + 2
         self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
-        per_target = 2 if range_check == "u16" else 6
-        self.num_columns = self.start_lookups + 1 + per_target * NUM_RANGE_CHECK
+        self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
+        self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = FQ_EXP_IO_LEN * num_io
 
     # ------------------------------------------------------------------ trace
@@ -163,10 +163,7 @@ class FqExpAir(Air):
         io_pulses = pu.generate_pulse(n, self.pulse_positions())
         parts = [trace, periodic, io_pulses]
         base = np.concatenate(parts, axis=1)
-        if self.range_check == "u16":
-            rc_cols = rc.generate_u16_range_check(base, RANGE_TARGETS)
-        else:
-            rc_cols = rc.generate_split_u16_range_check(base, RANGE_TARGETS)
+        rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
 
@@ -179,9 +176,10 @@ class FqExpAir(Air):
         return trace_full, np.array(pi, dtype=np.uint64)
 
     def permutation_pairs(self):
-        if self.range_check == "u16":
-            return rc.u16_range_check_pairs(self.start_lookups, RANGE_TARGETS)
-        return rc.split_u16_range_check_pairs(self.start_lookups, NUM_RANGE_CHECK)
+        return self.rc_spec.pairs()
+
+    def lookup_tables(self):
+        return self.rc_spec.tables()
 
     # ------------------------------------------------------------ constraints
     def eval(self, lv, nv, pi, cc):
@@ -283,14 +281,7 @@ class FqExpAir(Air):
             2 * fl.INPUT_LIMB_BITS - 2,
         )
         pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
-        if self.range_check == "u16":
-            rc.eval_u16_range_check(
-                cc, lv, nv, self.start_lookups, len(RANGE_TARGETS)
-            )
-        else:
-            rc.eval_split_u16_range_check(
-                cc, lv, nv, self.start_lookups, RANGE_TARGETS
-            )
+        self.rc_spec.eval(cc, lv, nv)
 
 
 def _gen_fq_mul(x: int, y: int) -> dict:

@@ -136,6 +136,112 @@ def split_u16_range_check_pairs(
     return pairs
 
 
+# ---------------------------------------------------------------------------
+# flavor (c): logUp with an 8-bit table (works at any height >= 256)
+# ---------------------------------------------------------------------------
+
+
+def generate_logup_range_check(
+    trace_cols: np.ndarray, target_cols: list[int]
+) -> np.ndarray:
+    """Returns appended columns [n, 2 + 2k]: [table, mult, lo_0, hi_0, ...].
+
+    The aux (h/g/S) columns are challenge-dependent and are built by the
+    framework (stark/logup.py) in the second commitment phase.
+    """
+    n = trace_cols.shape[0]
+    range_max = 1 << 8
+    assert n >= range_max and n & (n - 1) == 0
+    table = _table(n, range_max)
+    split_cols = []
+    counts = np.zeros(range_max, dtype=np.int64)
+    for c in target_cols:
+        col = trace_cols[:, c]
+        assert (col < (1 << 16)).all()
+        lo = col & 0xFF
+        hi = col >> 8
+        counts += np.bincount(lo.astype(np.int64), minlength=range_max)
+        counts += np.bincount(hi.astype(np.int64), minlength=range_max)
+        split_cols += [lo, hi]
+    # multiplicity: padding rows repeat the value 255; attribute its whole
+    # count to the canonical row 255 and zero elsewhere
+    mult = np.zeros(n, dtype=np.uint64)
+    mult[:range_max] = counts.astype(np.uint64)
+    return np.stack([table, mult] + split_cols, axis=1)
+
+
+def eval_logup_range_check(
+    cc: ConstraintConsumer,
+    lv: RowView,
+    nv: RowView,
+    start_col: int,
+    target_cols: list[int],
+):
+    """Trace-side constraints only: byte recomposition + table shape. The
+    logUp sum constraints are emitted by the framework from lookup_tables()."""
+    k = len(target_cols)
+    lo_cols = [start_col + 2 + 2 * i for i in range(k)]
+    hi_cols = [start_col + 3 + 2 * i for i in range(k)]
+    orig = lv.cols_idx(target_cols)
+    lo = lv.cols_idx(lo_cols)
+    hi = lv.cols_idx(hi_cols)
+    cc.constraint(orig - (lo + hi * (1 << 8)))
+    _eval_table_shape(cc, lv, nv, start_col, (1 << 8) - 1)
+
+
+def logup_range_check_tables(start_col: int, num_targets: int):
+    checked = []
+    for i in range(num_targets):
+        checked += [start_col + 2 + 2 * i, start_col + 3 + 2 * i]
+    return [(start_col, start_col + 1, tuple(checked))]
+
+
+class RangeCheckSpec:
+    """Uniform interface over the three range-check flavors.
+
+    flavor: "u16" (full 2^16 table + permutation argument, needs n >= 2^16),
+            "split" (8-bit table + permutation argument),
+            "logup" (8-bit table + log-derivative argument — cheapest).
+    """
+
+    def __init__(self, flavor: str, start_col: int, target_cols: list[int]):
+        assert flavor in ("u16", "split", "logup")
+        self.flavor = flavor
+        self.start_col = start_col
+        self.targets = list(target_cols)
+        k = len(self.targets)
+        self.num_added = {"u16": 1 + 2 * k, "split": 1 + 6 * k, "logup": 2 + 2 * k}[
+            flavor
+        ]
+
+    def generate(self, base: np.ndarray) -> np.ndarray:
+        if self.flavor == "u16":
+            return generate_u16_range_check(base, self.targets)
+        if self.flavor == "split":
+            return generate_split_u16_range_check(base, self.targets)
+        return generate_logup_range_check(base, self.targets)
+
+    def eval(self, cc, lv, nv):
+        if self.flavor == "u16":
+            eval_u16_range_check(cc, lv, nv, self.start_col, len(self.targets))
+        elif self.flavor == "split":
+            eval_split_u16_range_check(cc, lv, nv, self.start_col, self.targets)
+        else:
+            eval_logup_range_check(cc, lv, nv, self.start_col, self.targets)
+
+    def pairs(self) -> list[tuple[int, int]]:
+        if self.flavor == "u16":
+            return u16_range_check_pairs(self.start_col, self.targets)
+        if self.flavor == "split":
+            return split_u16_range_check_pairs(self.start_col, len(self.targets))
+        return []
+
+    def tables(self):
+        if self.flavor == "logup":
+            return logup_range_check_tables(self.start_col, len(self.targets))
+        return []
+
+
 def _eval_table_shape(cc, lv, nv, table_col: int, range_max_m1: int):
     cur = lv.col(table_col)
     nxt = nv.col(table_col)

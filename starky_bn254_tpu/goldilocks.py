@@ -321,6 +321,13 @@ def cumprod(x):
     return jax.lax.associative_scan(mul, x, axis=0)
 
 
+def cumsum(x):
+    """Modular cumulative sum along axis 0 (inclusive)."""
+    import jax
+
+    return jax.lax.associative_scan(add, x, axis=0)
+
+
 def ext_powers_vec(base_ext, n: int):
     """[(1,0), b, b^2, ..., b^{n-1}] for an extension scalar b: [n, 2]."""
     import jax

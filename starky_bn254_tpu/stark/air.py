@@ -26,6 +26,15 @@ class Air:
         lookup-based range checks — src/utils/range_check.rs:96-113)."""
         return []
 
+    def lookup_tables(self) -> list[tuple[int, int, tuple[int, ...]]]:
+        """logUp (log-derivative) lookups: (table_col, mult_col,
+        checked_cols). Proves every checked cell appears in the table via
+            sum_cells 1/(gamma + cell) == sum_rows mult/(gamma + table).
+        A TPU-first replacement for the reference's permuted-column lookups
+        whose 4-permuted + 4-Z columns per checked column dominate memory on
+        wide traces. AIRs may use either mechanism (or both)."""
+        return []
+
     def eval(
         self,
         lv: RowView,

@@ -1,0 +1,128 @@
+"""logUp: log-derivative lookup argument (Habock-style running sums).
+
+Proves every cell of the checked columns appears in a table column:
+
+    sum_{rows, checked j} 1/(gamma + c_j)  ==  sum_rows m/(gamma + T)
+
+with a committed multiplicity column m (part of the main trace) and, per
+challenge gamma, auxiliary columns committed in the same phase as the
+permutation Z columns:
+
+    g       = m/(gamma + T)                       [1 col]
+    h_b     = 1/(gamma+c_{2b}) + 1/(gamma+c_{2b+1})   [ceil(k/2) cols]
+    S       = running sum of (sum_b h_b - g), S[0] = 0    [1 col]
+
+Constraints (degree <= 3, all cyclic every-row):
+    g*(gamma+T) - m == 0
+    h_b*(gamma+c1)*(gamma+c2) - (2*gamma + c1 + c2) == 0   (pair batch)
+    h_b*(gamma+c) - 1 == 0                                  (single tail)
+    S(gx) - S(x) - (sum_b h_b(x) - g(x)) == 0
+
+The cyclic S-recurrence telescopes to sum(delta) == 0, which is the logUp
+identity. Compared with the reference's permuted-column lookups
+(src/utils/lookup.rs + 2 permutation Z per pair), this costs ~(k/2 + 2)
+aux columns instead of ~4k — the difference between fitting and not fitting
+the Fq12-width traces in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import goldilocks as gl
+from .consumer import ConstraintConsumer
+from .field_expr import RowView, Val
+
+Table = tuple  # (table_col, mult_col, tuple(checked_cols))
+
+
+def batches(checked: tuple[int, ...]) -> list[tuple[int, ...]]:
+    return [tuple(checked[i : i + 2]) for i in range(0, len(checked), 2)]
+
+
+def table_aux_width(tables) -> int:
+    """Aux columns per challenge."""
+    return sum(2 + len(batches(t[2])) for t in tables)
+
+
+@functools.partial(jax.jit, static_argnames=("tables_key",))
+def _logup_cols_impl(trace, gammas, tables_key):
+    tables = tables_key
+    cols = []
+    for ci in range(gammas.shape[0]):
+        gamma = gammas[ci]
+        for (t_col, m_col, checked) in tables:
+            inv_t = gl.batch_inv(gl.add(trace[:, t_col], gamma))
+            g = gl.mul(trace[:, m_col], inv_t)
+            idx = jnp.asarray(np.array(checked, dtype=np.int32))
+            inv_c = gl.batch_inv(gl.add(trace[:, idx], gamma))  # [n, k]
+            if len(checked) % 2 == 1:
+                inv_c = jnp.pad(inv_c, ((0, 0), (0, 1)))
+            h_mat = gl.add(inv_c[:, 0::2], inv_c[:, 1::2])  # [n, B]
+            delta = gl.sub(gl.sum_mod(h_mat, axis=1), g)
+            csum = gl.cumsum(delta)
+            s = jnp.concatenate([jnp.zeros((1,), jnp.uint64), csum[:-1]])
+            cols.append(jnp.concatenate([g[:, None], h_mat, s[:, None]], axis=1))
+    return jnp.concatenate(cols, axis=1)
+
+
+def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.ndarray:
+    """[n, nc * table_aux_width] aux columns, challenge-major then
+    per-table [g | h... | S]."""
+    g = jnp.asarray(np.array(gammas, dtype=np.uint64))
+    key = tuple((t[0], t[1], tuple(t[2])) for t in tables)
+    return _logup_cols_impl(trace, g, key)
+
+
+def logup_constraints(
+    tables,
+    gammas: list[Val],
+    lv: RowView,
+    nv: RowView,
+    aux_lv: RowView,
+    aux_nv: RowView,
+    cc: ConstraintConsumer,
+    aux_offset: int,
+):
+    """Framework constraints; aux_offset = column where logup aux starts in
+    the aux commitment (after permutation Z columns)."""
+    w = table_aux_width(tables)
+    for ci, gamma in enumerate(gammas):
+        base = aux_offset + ci * w
+        for (t_col, m_col, checked) in tables:
+            bs = batches(checked)
+            g_col = base
+            h0 = base + 1
+            s_col = base + 1 + len(bs)
+            base += 2 + len(bs)
+
+            g = aux_lv.col(g_col)
+            t = lv.col(t_col)
+            m = lv.col(m_col)
+            cc.constraint(g * (t + gamma) - m)
+
+            pair_i = [i for i, b in enumerate(bs) if len(b) == 2]
+            if pair_i:
+                h = aux_lv.cols_idx([h0 + i for i in pair_i])
+                c1 = lv.cols_idx([bs[i][0] for i in pair_i])
+                c2 = lv.cols_idx([bs[i][1] for i in pair_i])
+                cc.constraint(
+                    h * (c1 + gamma.lane()) * (c2 + gamma.lane())
+                    - (c1 + c2 + gamma.lane() * 2)
+                )
+            single_i = [i for i, b in enumerate(bs) if len(b) == 1]
+            if single_i:
+                h = aux_lv.cols_idx([h0 + i for i in single_i])
+                c1 = lv.cols_idx([bs[i][0] for i in single_i])
+                cc.constraint(h * (c1 + gamma.lane()) - 1)
+
+            all_h = aux_lv.cols(h0, h0 + len(bs))
+            axis = -2 if all_h.ext else -1
+            h_sum = Val(gl.sum_mod(all_h.arr, axis=axis), all_h.ext)
+            s = aux_lv.col(s_col)
+            s_next = aux_nv.col(s_col)
+            cc.constraint(s_next - s - (h_sum - g))

@@ -131,6 +131,7 @@ def _composition_fn(air: Air, n: int, cfg: StarkConfig, has_z: bool):
     blowup = cfg.fri.blowup
     sels = _lde_selectors(n, cfg.fri.rate_bits)
     pairs = air.permutation_pairs()
+    tables = air.lookup_tables()
 
     def fn(trace_lde, z_lde, public_inputs, alphas, gammas):
         lv = RowView(trace_lde, ext=False)
@@ -148,7 +149,23 @@ def _composition_fn(air: Air, n: int, cfg: StarkConfig, has_z: bool):
             z_lv = RowView(z_lde, ext=False)
             z_nv = RowView(jnp.roll(z_lde, -blowup, axis=0), ext=False)
             gammas_v = [Val(gammas[i], False) for i in range(cfg.num_challenges)]
-            permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv, cc, False)
+            if pairs:
+                permutation_constraints(
+                    pairs, gammas_v, lv, nv, z_lv, z_nv, cc, False
+                )
+            if tables:
+                from .logup import logup_constraints
+
+                logup_constraints(
+                    tables,
+                    gammas_v,
+                    lv,
+                    nv,
+                    z_lv,
+                    z_nv,
+                    cc,
+                    aux_offset=cfg.num_challenges * len(pairs),
+                )
         zh_inv = jnp.asarray(sels["zh_inv"])
         accs = cc.final_accs()
         return jnp.stack([gl.mul(acc.arr, zh_inv) for acc in accs])
@@ -263,14 +280,22 @@ def prove(
         trace_c = commit(trace, cfg)
     challenger.observe_cap(np.asarray(trace_c.tree.cap))
 
-    # 2. permutation Z columns
+    # 2. auxiliary columns: permutation Z + logUp (committed together)
     pairs = air.permutation_pairs()
+    tables = air.lookup_tables()
     z_c = None
     gammas: list[int] = []
-    if pairs:
+    if pairs or tables:
         gammas = challenger.get_n_challenges(nc)
-        with tt.scope("permutation Z commit"):
-            z_cols = compute_z_columns(trace, pairs, gammas)
+        with tt.scope("aux (Z/logup) commit"):
+            parts = []
+            if pairs:
+                parts.append(compute_z_columns(trace, pairs, gammas))
+            if tables:
+                from .logup import compute_logup_columns
+
+                parts.append(compute_logup_columns(trace, tables, gammas))
+            z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             z_c = commit(z_cols, cfg)
         challenger.observe_cap(np.asarray(z_c.tree.cap))
 

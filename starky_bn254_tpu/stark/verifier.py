@@ -44,20 +44,25 @@ def _ext_int(pair) -> jnp.ndarray:
 
 
 def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
+    from .logup import logup_constraints, table_aux_width
+
     n = 1 << proof.degree_bits
     n_lde = n << cfg.fri.rate_bits
     nc = cfg.num_challenges
     pairs = air.permutation_pairs()
+    tables = air.lookup_tables()
+    has_aux = bool(pairs or tables)
+    aux_width = nc * (len(pairs) + table_aux_width(tables))
 
     _require(proof.openings.trace_zeta.shape == (air.num_columns, 2), "trace openings shape")
     _require(
         proof.openings.quotient_zeta.shape == (nc * QUOTIENT_CHUNKS, 2),
         "quotient openings shape",
     )
-    if pairs:
+    if has_aux:
         _require(proof.z_cap is not None, "missing z commitment")
         _require(
-            proof.openings.z_zeta.shape == (nc * len(pairs), 2), "z openings shape"
+            proof.openings.z_zeta.shape == (aux_width, 2), "z openings shape"
         )
     _require(
         proof.public_inputs.shape == (air.num_public_inputs,), "public inputs shape"
@@ -68,7 +73,7 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
     challenger.observe_elements(proof.public_inputs)
     challenger.observe_cap(proof.trace_cap)
     gammas: list[int] = []
-    if pairs:
+    if has_aux:
         gammas = challenger.get_n_challenges(nc)
         challenger.observe_cap(proof.z_cap)
     alphas = challenger.get_n_challenges(nc)
@@ -129,11 +134,17 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
         l_last=Val(l_last, True),
     )
     air.eval(lv, nv, pi, cc)
-    if pairs:
+    if has_aux:
         z_lv = RowView(jnp.asarray(proof.openings.z_zeta), ext=True)
         z_nv = RowView(jnp.asarray(proof.openings.z_gzeta), ext=True)
         gammas_v = [Val(_ext_int((g, 0)), True) for g in gammas]
-        permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv, cc, True)
+        if pairs:
+            permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv, cc, True)
+        if tables:
+            logup_constraints(
+                tables, gammas_v, lv, nv, z_lv, z_nv, cc,
+                aux_offset=nc * len(pairs),
+            )
     accs = cc.final_accs()
 
     q_open = jnp.asarray(proof.openings.quotient_zeta)  # [nc*chunks, 2]
@@ -153,8 +164,8 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
     # ---- FRI query checks (batched over queries) ---------------------------
     idx_np = np.array(indices, dtype=np.int64)
     idx_j = jnp.asarray(idx_np)
-    num_oracles = 2 + (1 if pairs else 0)
-    caps = [proof.trace_cap] + ([proof.z_cap] if pairs else []) + [proof.quotient_cap]
+    num_oracles = 2 + (1 if has_aux else 0)
+    caps = [proof.trace_cap] + ([proof.z_cap] if has_aux else []) + [proof.quotient_cap]
     for o in range(num_oracles):
         leaves = jnp.asarray(
             np.stack([qr.initial_leaves[o] for qr in proof.fri.query_rounds])
@@ -169,7 +180,7 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
 
     # recompute F at the query points from the (verified) initial leaves
     f_at_idx = _recompute_f(
-        proof, pairs, idx_j, zeta_arr, beta, n_lde, cfg
+        proof, has_aux, idx_j, zeta_arr, beta, n_lde, cfg
     )
 
     layer_leaves = []
@@ -201,7 +212,7 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
 
 def _recompute_f(
     proof: StarkProof,
-    pairs,
+    has_aux,
     idx_j: jnp.ndarray,
     zeta_arr: jnp.ndarray,
     beta,
@@ -214,7 +225,7 @@ def _recompute_f(
     xs = gl.mul(_pow_per_query(w_big, idx_j, n_lde), jnp.asarray(np.uint64(gl.GENERATOR)))
     x_ext = gl.ext_from_base(xs)  # [Q, 2]
 
-    has_z = bool(pairs)
+    has_z = bool(has_aux)
     o_trace, o_z, o_q = 0, (1 if has_z else None), (2 if has_z else 1)
 
     def leaves(o):
