@@ -21,7 +21,14 @@ jax.config.update("jax_enable_x64", True)
 # makes repeated runs (tests, benches) start fast.
 import os as _os
 
-_repo_cache = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache")
+# Keyed by platform: mixing entries compiled for different targets (the
+# tunneled TPU helper also emits CPU AOT code for a different host CPU) can
+# SIGILL the process on load.
+_platform = _os.environ.get("JAX_PLATFORMS", "cpu").split(",")[0] or "cpu"
+_repo_cache = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    f".jax_cache-{_platform}",
+)
 _cache_dir = _os.environ.get("STARKY_JAX_CACHE", _repo_cache)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -63,8 +63,8 @@ class FqExpAir(Air):
     def __init__(self, num_io: int, range_check: str = "auto"):
         self.num_io = num_io
         if range_check == "auto":
-            range_check = "u16" if num_io >= 128 else "logup"
-        assert range_check in ("u16", "split", "logup")
+            range_check = "logup_u16" if num_io >= 128 else "logup"
+        assert range_check in ("u16", "split", "logup", "logup_u16")
         self.range_check = range_check
 
         self.start_periodic = NUM_MAIN

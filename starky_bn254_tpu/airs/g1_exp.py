@@ -38,18 +38,39 @@ ROWS_PER_BLOCK = fl.NUM_FLAG_ROWS  # 512
 
 
 class G1ExpAir(Air):
-    def __init__(self, num_io: int, range_check: str = "auto"):
+    """io_binding:
+    - "pulse": the reference's per-instance one-hot IO pulses
+      (1 + 4*num_io columns — g1/exp.rs io_pulses block);
+    - "rlc": challenge-weighted running-sum binding (~4 fixed columns +
+      2 aux per challenge), enabling num_io in the thousands. The is_final
+      flag is pinned by a periodic pulse instead of the pulse sum.
+    """
+
+    def __init__(
+        self, num_io: int, range_check: str = "auto", io_binding: str = "auto"
+    ):
         self.num_io = num_io
         if range_check == "auto":
-            range_check = "u16" if num_io >= 128 else "logup"
-        assert range_check in ("u16", "split", "logup")
+            range_check = "logup_u16" if num_io >= 128 else "logup"
+        assert range_check in ("u16", "split", "logup", "logup_u16")
         self.range_check = range_check
+        if io_binding == "auto":
+            io_binding = "rlc" if num_io >= 128 else "pulse"
+        assert io_binding in ("pulse", "rlc")
+        self.io_binding = io_binding
         self.start_periodic = NUM_MAIN
-        self.start_io_pulses = NUM_MAIN + 2
-        self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        if io_binding == "pulse":
+            self.start_io_pulses = NUM_MAIN + 2
+            self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        else:
+            self.start_final_periodic = NUM_MAIN + 2
+            self.start_lookups = NUM_MAIN + 4
         self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
         self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = G1_EXP_IO_LEN * num_io
+
+    def aux_extra_width(self) -> int:
+        return 2 if self.io_binding == "rlc" else 0
 
     def pulse_positions(self) -> list[int]:
         pos = []
@@ -132,8 +153,14 @@ class G1ExpAir(Air):
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
-        io_pulses = pu.generate_pulse(n, self.pulse_positions())
-        base = np.concatenate([trace, periodic, io_pulses], axis=1)
+        if self.io_binding == "pulse":
+            io_cols = pu.generate_pulse(n, self.pulse_positions())
+        else:
+            # pin is_final itself as periodic (period 512, pulse at 511)
+            io_cols = pu.generate_periodic_pulse_witness(
+                trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+            )
+        base = np.concatenate([trace, periodic, io_cols], axis=1)
         rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
@@ -167,47 +194,63 @@ class G1ExpAir(Air):
         is_add = lv.col(s + 4)
         not_final = 1 - is_final
 
-        out_pulse_cols = [
-            pu.get_pulse_col(self.start_io_pulses, 2 * i + 1) for i in range(io)
-        ]
-        sum_out = None
-        for pc in out_pulse_cols:
-            v = lv.col(pc)
-            sum_out = v if sum_out is None else sum_out + v
-        cc.constraint(is_final - sum_out)
+        if self.io_binding == "pulse":
+            out_pulse_cols = [
+                pu.get_pulse_col(self.start_io_pulses, 2 * i + 1) for i in range(io)
+            ]
+            sum_out = None
+            for pc in out_pulse_cols:
+                v = lv.col(pc)
+                sum_out = v if sum_out is None else sum_out + v
+            cc.constraint(is_final - sum_out)
 
-        # public IO
-        ax32, ay32 = u16_to_u32_lanes(a_x), u16_to_u32_lanes(a_y)
-        bx32, by32 = u16_to_u32_lanes(b_x), u16_to_u32_lanes(b_y)
-        limbs = lv.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
-        first = Val(
-            limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
-        )
-        rest = Val(
-            limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
-        )
-        restored0 = first * 2 + is_add.lane()
-        for i in range(io):
-            off = G1_EXP_IO_LEN * i
-            xx = pi.cols(off, off + 8)
-            xy = pi.cols(off + 8, off + 16)
-            ox = pi.cols(off + 16, off + 24)
-            oy = pi.cols(off + 24, off + 32)
-            ev = pi.cols(off + 32, off + 40)
-            ux = pi.cols(off + 40, off + 48)
-            uy = pi.cols(off + 48, off + 56)
-            is_in = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i))
-            is_out = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
-            vec_equal(cc, is_in, xx, ax32)
-            vec_equal(cc, is_in, xy, ay32)
-            vec_equal(cc, is_in, ox, bx32)
-            vec_equal(cc, is_in, oy, by32)
-            vec_equal(cc, is_out, ux, bx32)
-            vec_equal(cc, is_out, uy, by32)
-            ev0 = Val(ev.arr[..., 0:1, :] if ev.ext else ev.arr[..., 0:1], ev.ext)
-            ev_rest = Val(ev.arr[..., 1:, :] if ev.ext else ev.arr[..., 1:], ev.ext)
-            vec_equal(cc, is_in, ev0, restored0)
-            vec_equal(cc, is_in, ev_rest, rest)
+            # public IO
+            ax32, ay32 = u16_to_u32_lanes(a_x), u16_to_u32_lanes(a_y)
+            bx32, by32 = u16_to_u32_lanes(b_x), u16_to_u32_lanes(b_y)
+            limbs = lv.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
+            first = Val(
+                limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
+            )
+            rest = Val(
+                limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
+            )
+            restored0 = first * 2 + is_add.lane()
+            for i in range(io):
+                off = G1_EXP_IO_LEN * i
+                xx = pi.cols(off, off + 8)
+                xy = pi.cols(off + 8, off + 16)
+                ox = pi.cols(off + 16, off + 24)
+                oy = pi.cols(off + 24, off + 32)
+                ev = pi.cols(off + 32, off + 40)
+                ux = pi.cols(off + 40, off + 48)
+                uy = pi.cols(off + 48, off + 56)
+                is_in = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i))
+                is_out = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
+                vec_equal(cc, is_in, xx, ax32)
+                vec_equal(cc, is_in, xy, ay32)
+                vec_equal(cc, is_in, ox, bx32)
+                vec_equal(cc, is_in, oy, by32)
+                vec_equal(cc, is_out, ux, bx32)
+                vec_equal(cc, is_out, uy, by32)
+                ev0 = Val(ev.arr[..., 0:1, :] if ev.ext else ev.arr[..., 0:1], ev.ext)
+                ev_rest = Val(
+                    ev.arr[..., 1:, :] if ev.ext else ev.arr[..., 1:], ev.ext
+                )
+                vec_equal(cc, is_in, ev0, restored0)
+                vec_equal(cc, is_in, ev_rest, rest)
+        else:
+            # rlc mode: is_final pinned as a periodic pulse; PI equality via
+            # the challenge-weighted accumulator (eval_extra). First/last-row
+            # direct RLC bindings happen in eval_extra too (they need gamma).
+            pu.eval_periodic_pulse(
+                cc,
+                lv,
+                nv,
+                START_FLAGS,
+                self.start_final_periodic,
+                ROWS_PER_BLOCK,
+                ROWS_PER_BLOCK - 1,
+            )
 
         # state transition
         n_ax = nv.cols(0, N_LIMBS)
@@ -241,5 +284,173 @@ class G1ExpAir(Air):
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
-        pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
+        if self.io_binding == "pulse":
+            pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
         self.rc_spec.eval(cc, lv, nv)
+
+    # ---------------------------------------------------- rlc IO binding aux
+    def _input_cells(self, view, at):
+        """The 40 input cells (x, offset as u32 lanes; exp limbs with the
+        first bit restored) read from a block-start row of `view`."""
+        from ..stark.field_expr import lane_concat
+
+        s = START_FLAGS
+        coords = [
+            u16_to_u32_lanes(view.cols(k * N_LIMBS, (k + 1) * N_LIMBS))
+            for k in range(4)
+        ]
+        limbs = view.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
+        first = Val(
+            limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
+        )
+        rest = Val(limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext)
+        restored0 = first * 2 + view.col(s + 4).lane()
+        return lane_concat(coords + [restored0, rest])
+
+    def _output_cells(self, view):
+        from ..stark.field_expr import lane_concat
+
+        return lane_concat(
+            [
+                u16_to_u32_lanes(view.cols(2 * N_LIMBS, 3 * N_LIMBS)),
+                u16_to_u32_lanes(view.cols(3 * N_LIMBS, 4 * N_LIMBS)),
+            ]
+        )
+
+    @staticmethod
+    def _gamma_powers(gamma, upto: int):
+        """[gamma^1, ..., gamma^upto] as Vals (short sequential chain)."""
+        powers = [gamma]
+        for _ in range(upto - 1):
+            powers.append(powers[-1] * gamma)
+        return powers
+
+    def generate_aux(self, trace, gammas):
+        """W (gamma^{56k} per block) and A (IO accumulator) per challenge."""
+        import numpy as np
+
+        from .. import goldilocks as gl
+
+        io, n = self.num_io, trace.shape[0]
+        cols = []
+        for g in gammas:
+            g = int(g)
+            g56 = pow(g, G1_EXP_IO_LEN, gl.P)
+            w = np.empty(n, dtype=np.uint64)
+            a = np.empty(n, dtype=np.uint64)
+            wk = 1
+            acc = 0
+            for k in range(io):
+                base = k * ROWS_PER_BLOCK
+                w[base : base + ROWS_PER_BLOCK] = wk
+                a[base : base + ROWS_PER_BLOCK] = acc
+                if k < io - 1:
+                    end = base + ROWS_PER_BLOCK - 1
+                    inc = wk * self._rlc_out_int(trace, end, g) % gl.P
+                    inc = (
+                        inc + wk * g56 % gl.P * self._rlc_in_int(trace, end + 1, g)
+                    ) % gl.P
+                    acc = (acc + inc) % gl.P
+                wk = wk * g56 % gl.P
+            cols += [w, a]
+        return np.stack(cols, axis=1)
+
+    def _rlc_out_int(self, trace, row, g):
+        from .. import goldilocks as gl
+
+        cells = []
+        for k in (2, 3):  # b_x, b_y u32 lanes
+            limbs = trace[row, k * N_LIMBS : (k + 1) * N_LIMBS]
+            for t in range(8):
+                cells.append(int(limbs[2 * t]) + (int(limbs[2 * t + 1]) << 16))
+        acc = 0
+        for j, c in enumerate(cells):
+            acc = (acc + pow(g, 40 + j + 1, gl.P) * c) % gl.P
+        return acc
+
+    def _rlc_in_int(self, trace, row, g):
+        from .. import goldilocks as gl
+
+        s = START_FLAGS
+        cells = []
+        for k in range(4):  # a_x a_y b_x b_y u32 lanes
+            limbs = trace[row, k * N_LIMBS : (k + 1) * N_LIMBS]
+            for t in range(8):
+                cells.append(int(limbs[2 * t]) + (int(limbs[2 * t + 1]) << 16))
+        limbs = [int(v) for v in trace[row, s + 6 : s + 6 + fl.NUM_INPUT_LIMBS]]
+        bit = int(trace[row, s + 4])
+        cells.append(limbs[0] * 2 + bit)
+        cells += limbs[1:]
+        acc = 0
+        for j, c in enumerate(cells):
+            acc = (acc + pow(g, j + 1, gl.P) * c) % gl.P
+        return acc
+
+    def eval_extra(self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset):
+        import jax.numpy as jnp
+
+        from .. import goldilocks as gl
+        from ..stark.field_expr import stack_vals
+
+        io = self.num_io
+        L = G1_EXP_IO_LEN
+        is_final = lv.col(START_FLAGS)
+        for ci, gamma in enumerate(gammas):
+            w_col = aux_offset + 2 * ci
+            a_col = aux_offset + 2 * ci + 1
+            w = aux_lv.col(w_col)
+            a_acc = aux_lv.col(a_col)
+            w_next = aux_nv.col(w_col)
+            a_next = aux_nv.col(a_col)
+
+            gpow = self._gamma_powers(gamma, L)  # gpow[j] = gamma^{j+1}
+            g56 = gpow[L - 1]
+
+            def rlc(cells, base_exp: int):
+                k = cells.arr.shape[-2 if cells.ext else -1]
+                weights = stack_vals([gpow[base_exp + j] for j in range(k)])
+                prod = cells * weights
+                axis = -2 if cells.ext else -1
+                return Val(gl.sum_mod(prod.arr, axis=axis), cells.ext)
+
+            cc.constraint_first_row(w - 1)
+            cc.constraint_first_row(a_acc)
+            cc.constraint_transition(w_next - w * (1 + is_final * (g56 - 1)))
+
+            out_rlc = rlc(self._output_cells(lv), 40)  # gamma^41..56
+            in_rlc = rlc(self._input_cells(nv, "next"), 0)  # gamma^1..40
+            inc = is_final * w * (out_rlc + g56 * in_rlc)
+            cc.constraint_transition(a_next - a_acc - inc)
+
+            # expected values from the public inputs (vectorized: one
+            # block-RLC matvec + one powers-of-gamma^56 dot)
+            pi_all = pi.cols(0, L * io)
+            if pi_all.ext:
+                mat = pi_all.arr.reshape(io, L, 2)
+                w56 = stack_vals(gpow).arr  # [L, 2]
+                blk = gl.sum_mod(gl.ext_mul(mat, w56[None, :, :]), axis=1)  # [io,2]
+                wks = gl.ext_powers_vec(g56.arr, io)  # [io, 2]
+                expected_full = Val(
+                    gl.sum_mod(gl.ext_mul(blk, wks), axis=0), True
+                )
+            else:
+                mat = pi_all.arr.reshape(io, L)
+                w56 = stack_vals(gpow).arr  # [L]
+                blk = gl.sum_mod(gl.mul(mat, w56[None, :]), axis=1)  # [io]
+                wks = gl.powers_vec(g56.arr, io)
+                expected_full = Val(gl.sum_mod(gl.mul(blk, wks), axis=0), False)
+
+            in0 = rlc(pi.cols(0, 40), 0)
+            out_last_pi = rlc(pi.cols(L * (io - 1) + 40, L * io), 40)
+            if io > 1:
+                wk_last = Val(
+                    (wks[io - 1] if not pi_all.ext else wks[io - 1]), pi_all.ext
+                )
+                out_last_scaled = wk_last * out_last_pi
+            else:
+                out_last_scaled = out_last_pi
+            partial = expected_full - in0 - out_last_scaled
+
+            cc.constraint_first_row(rlc(self._input_cells(lv, "cur"), 0) - in0)
+            cc.constraint_last_row(out_rlc - out_last_pi)
+            cc.constraint_last_row(a_acc - partial)

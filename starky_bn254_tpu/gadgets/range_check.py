@@ -196,29 +196,54 @@ def logup_range_check_tables(start_col: int, num_targets: int):
     return [(start_col, start_col + 1, tuple(checked))]
 
 
+def generate_logup_u16_range_check(
+    trace_cols: np.ndarray, target_cols: list[int]
+) -> np.ndarray:
+    """Full 2^16 table + multiplicity, no byte splits (needs n >= 2^16):
+    appended columns [n, 2]."""
+    n = trace_cols.shape[0]
+    range_max = 1 << 16
+    assert n >= range_max and n & (n - 1) == 0
+    table = _table(n, range_max)
+    counts = np.zeros(range_max, dtype=np.int64)
+    for c in target_cols:
+        col = trace_cols[:, c]
+        assert (col < range_max).all()
+        counts += np.bincount(col.astype(np.int64), minlength=range_max)
+    mult = np.zeros(n, dtype=np.uint64)
+    mult[:range_max] = counts.astype(np.uint64)
+    return np.stack([table, mult], axis=1)
+
+
 class RangeCheckSpec:
-    """Uniform interface over the three range-check flavors.
+    """Uniform interface over the range-check flavors.
 
     flavor: "u16" (full 2^16 table + permutation argument, needs n >= 2^16),
             "split" (8-bit table + permutation argument),
-            "logup" (8-bit table + log-derivative argument — cheapest).
+            "logup" (8-bit table + log-derivative argument),
+            "logup_u16" (2^16 table + log-derivative — cheapest, n >= 2^16).
     """
 
     def __init__(self, flavor: str, start_col: int, target_cols: list[int]):
-        assert flavor in ("u16", "split", "logup")
+        assert flavor in ("u16", "split", "logup", "logup_u16")
         self.flavor = flavor
         self.start_col = start_col
         self.targets = list(target_cols)
         k = len(self.targets)
-        self.num_added = {"u16": 1 + 2 * k, "split": 1 + 6 * k, "logup": 2 + 2 * k}[
-            flavor
-        ]
+        self.num_added = {
+            "u16": 1 + 2 * k,
+            "split": 1 + 6 * k,
+            "logup": 2 + 2 * k,
+            "logup_u16": 2,
+        }[flavor]
 
     def generate(self, base: np.ndarray) -> np.ndarray:
         if self.flavor == "u16":
             return generate_u16_range_check(base, self.targets)
         if self.flavor == "split":
             return generate_split_u16_range_check(base, self.targets)
+        if self.flavor == "logup_u16":
+            return generate_logup_u16_range_check(base, self.targets)
         return generate_logup_range_check(base, self.targets)
 
     def eval(self, cc, lv, nv):
@@ -226,6 +251,8 @@ class RangeCheckSpec:
             eval_u16_range_check(cc, lv, nv, self.start_col, len(self.targets))
         elif self.flavor == "split":
             eval_split_u16_range_check(cc, lv, nv, self.start_col, self.targets)
+        elif self.flavor == "logup_u16":
+            _eval_table_shape(cc, lv, nv, self.start_col, (1 << 16) - 1)
         else:
             eval_logup_range_check(cc, lv, nv, self.start_col, self.targets)
 
@@ -239,6 +266,8 @@ class RangeCheckSpec:
     def tables(self):
         if self.flavor == "logup":
             return logup_range_check_tables(self.start_col, len(self.targets))
+        if self.flavor == "logup_u16":
+            return [(self.start_col, self.start_col + 1, tuple(self.targets))]
         return []
 
 

@@ -35,6 +35,22 @@ class Air:
         wide traces. AIRs may use either mechanism (or both)."""
         return []
 
+    def aux_extra_width(self) -> int:
+        """Number of AIR-defined auxiliary columns per challenge (committed in
+        the second phase alongside Z/logUp columns; challenge-dependent)."""
+        return 0
+
+    def generate_aux(self, trace, gammas: list[int]):
+        """Host-side builder for the AIR-defined aux columns:
+        trace [n, C] numpy -> [n, len(gammas) * aux_extra_width()] uint64."""
+        raise NotImplementedError
+
+    def eval_extra(self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset: int):
+        """Constraints over the AIR-defined aux columns (both prover rows and
+        verifier scalars); aux_offset = first AIR-aux column index inside the
+        aux commitment."""
+        raise NotImplementedError
+
     def eval(
         self,
         lv: RowView,

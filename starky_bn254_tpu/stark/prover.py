@@ -166,6 +166,20 @@ def _composition_fn(air: Air, n: int, cfg: StarkConfig, has_z: bool):
                     cc,
                     aux_offset=cfg.num_challenges * len(pairs),
                 )
+            if air.aux_extra_width():
+                from .logup import table_aux_width
+
+                air.eval_extra(
+                    lv,
+                    nv,
+                    z_lv,
+                    z_nv,
+                    gammas_v,
+                    pi,
+                    cc,
+                    aux_offset=cfg.num_challenges
+                    * (len(pairs) + table_aux_width(tables)),
+                )
         zh_inv = jnp.asarray(sels["zh_inv"])
         accs = cc.final_accs()
         return jnp.stack([gl.mul(acc.arr, zh_inv) for acc in accs])
@@ -283,9 +297,10 @@ def prove(
     # 2. auxiliary columns: permutation Z + logUp (committed together)
     pairs = air.permutation_pairs()
     tables = air.lookup_tables()
+    extra_w = air.aux_extra_width()
     z_c = None
     gammas: list[int] = []
-    if pairs or tables:
+    if pairs or tables or extra_w:
         gammas = challenger.get_n_challenges(nc)
         with tt.scope("aux (Z/logup) commit"):
             parts = []
@@ -295,6 +310,8 @@ def prove(
                 from .logup import compute_logup_columns
 
                 parts.append(compute_logup_columns(trace, tables, gammas))
+            if extra_w:
+                parts.append(jnp.asarray(air.generate_aux(np.asarray(trace), gammas)))
             z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             z_c = commit(z_cols, cfg)
         challenger.observe_cap(np.asarray(z_c.tree.cap))

@@ -51,8 +51,9 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
     nc = cfg.num_challenges
     pairs = air.permutation_pairs()
     tables = air.lookup_tables()
-    has_aux = bool(pairs or tables)
-    aux_width = nc * (len(pairs) + table_aux_width(tables))
+    extra_w = air.aux_extra_width()
+    has_aux = bool(pairs or tables or extra_w)
+    aux_width = nc * (len(pairs) + table_aux_width(tables) + extra_w)
 
     _require(proof.openings.trace_zeta.shape == (air.num_columns, 2), "trace openings shape")
     _require(
@@ -144,6 +145,11 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
             logup_constraints(
                 tables, gammas_v, lv, nv, z_lv, z_nv, cc,
                 aux_offset=nc * len(pairs),
+            )
+        if extra_w:
+            air.eval_extra(
+                lv, nv, z_lv, z_nv, gammas_v, pi, cc,
+                aux_offset=nc * (len(pairs) + table_aux_width(tables)),
             )
     accs = cc.final_accs()
 
