@@ -37,16 +37,80 @@ ROWS_PER_BLOCK = fl.NUM_FLAG_ROWS
 
 
 class Fq12ExpAir(Air):
-    def __init__(self, num_io: int, range_check: str = "logup"):
+    def __init__(
+        self, num_io: int, range_check: str = "logup", io_binding: str = "auto"
+    ):
         self.num_io = num_io
         assert range_check in ("split", "logup")
         self.range_check = range_check
+        if io_binding == "auto":
+            io_binding = "rlc" if num_io >= 128 else "pulse"
+        assert io_binding in ("pulse", "rlc")
+        self.io_binding = io_binding
         self.start_periodic = NUM_MAIN
-        self.start_io_pulses = NUM_MAIN + 2
-        self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        if io_binding == "pulse":
+            self.start_io_pulses = NUM_MAIN + 2
+            self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        else:
+            self.start_final_periodic = NUM_MAIN + 2
+            self.start_lookups = NUM_MAIN + 4
         self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
         self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = FQ12_EXP_IO_LEN * num_io
+
+    def aux_extra_width(self) -> int:
+        return 2 if self.io_binding == "rlc" else 0
+
+    def _rlc_binding(self):
+        from ..stark.io_rlc import RlcIoBinding
+
+        return RlcIoBinding(
+            io_len=FQ12_EXP_IO_LEN,
+            in_len=24 * N_LIMBS + fl.NUM_INPUT_LIMBS,
+            rows_per_block=ROWS_PER_BLOCK,
+            input_cells=self._rlc_input_cells,
+            output_cells=self._rlc_output_cells,
+            host_in_cells=self._host_in_cells,
+            host_out_cells=self._host_out_cells,
+        )
+
+    def _rlc_input_cells(self, view):
+        from ..stark.field_expr import lane_concat
+
+        s = START_FLAGS
+        ab = view.cols(0, 24 * N_LIMBS)  # x and offset limbs, PI order
+        limbs = view.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
+        first = Val(
+            limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
+        )
+        rest = Val(
+            limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
+        )
+        restored0 = first * 2 + view.col(s + 4).lane()
+        return lane_concat([ab, restored0, rest])
+
+    def _rlc_output_cells(self, view):
+        return view.cols(12 * N_LIMBS, 24 * N_LIMBS)
+
+    def _host_in_cells(self, trace, row):
+        s = START_FLAGS
+        cells = [int(v) for v in trace[row, : 24 * N_LIMBS]]
+        limbs = [int(v) for v in trace[row, s + 6 : s + 6 + fl.NUM_INPUT_LIMBS]]
+        cells.append(limbs[0] * 2 + int(trace[row, s + 4]))
+        cells += limbs[1:]
+        return cells
+
+    def _host_out_cells(self, trace, row):
+        return [int(v) for v in trace[row, 12 * N_LIMBS : 24 * N_LIMBS]]
+
+    def generate_aux(self, trace, gammas):
+        return self._rlc_binding().generate_aux(trace, gammas, self.num_io)
+
+    def eval_extra(self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset):
+        self._rlc_binding().eval_extra(
+            lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset,
+            is_final=lv.col(START_FLAGS), num_io=self.num_io,
+        )
 
     def pulse_positions(self) -> list[int]:
         pos = []
@@ -135,8 +199,13 @@ class Fq12ExpAir(Air):
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
-        io_pulses = pu.generate_pulse(n, self.pulse_positions())
-        base = np.concatenate([trace, periodic, io_pulses], axis=1)
+        if self.io_binding == "pulse":
+            io_cols = pu.generate_pulse(n, self.pulse_positions())
+        else:
+            io_cols = pu.generate_periodic_pulse_witness(
+                trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+            )
+        base = np.concatenate([trace, periodic, io_cols], axis=1)
         rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
@@ -171,11 +240,17 @@ class Fq12ExpAir(Air):
         is_mul = lv.col(s + 4)
         not_final = 1 - is_final
 
-        sum_out = None
-        for i in range(io):
-            v = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
-            sum_out = v if sum_out is None else sum_out + v
-        cc.constraint(is_final - sum_out)
+        if self.io_binding == "rlc":
+            pu.eval_periodic_pulse(
+                cc, lv, nv, START_FLAGS, self.start_final_periodic,
+                ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1,
+            )
+        else:
+            sum_out = None
+            for i in range(io):
+                v = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
+                sum_out = v if sum_out is None else sum_out + v
+            cc.constraint(is_final - sum_out)
 
         # public IO: direct u16 limb equality (fq12/exp.rs io format)
         limbs = lv.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
@@ -186,7 +261,7 @@ class Fq12ExpAir(Air):
             limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
         )
         restored0 = first * 2 + is_mul.lane()
-        for i in range(io):
+        for i in range(io if self.io_binding == "pulse" else 0):
             off = FQ12_EXP_IO_LEN * i
             is_in = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i))
             is_out = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
@@ -233,5 +308,6 @@ class Fq12ExpAir(Air):
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
-        pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
+        if self.io_binding == "pulse":
+            pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
         self.rc_spec.eval(cc, lv, nv)

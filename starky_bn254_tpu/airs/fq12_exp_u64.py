@@ -33,15 +33,70 @@ ROWS_PER_BLOCK = fl64.NUM_FLAG_U64_ROWS  # 128
 
 
 class Fq12ExpU64Air(Air):
-    def __init__(self, num_io: int, range_check: str = "logup"):
+    def __init__(
+        self, num_io: int, range_check: str = "logup", io_binding: str = "auto"
+    ):
         self.num_io = num_io
         assert range_check in ("split", "logup")
         self.range_check = range_check
-        self.start_io_pulses = NUM_MAIN
-        self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        if io_binding == "auto":
+            io_binding = "rlc" if num_io >= 128 else "pulse"
+        assert io_binding in ("pulse", "rlc")
+        self.io_binding = io_binding
+        if io_binding == "pulse":
+            self.start_io_pulses = NUM_MAIN
+            self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        else:
+            self.start_final_periodic = NUM_MAIN
+            self.start_lookups = NUM_MAIN + 2
         self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
         self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = FQ12_EXP_U64_IO_LEN * num_io
+
+    def aux_extra_width(self) -> int:
+        return 2 if self.io_binding == "rlc" else 0
+
+    def _rlc_binding(self):
+        from ..stark.io_rlc import RlcIoBinding
+
+        return RlcIoBinding(
+            io_len=FQ12_EXP_U64_IO_LEN,
+            in_len=24 * N_LIMBS + 1,
+            rows_per_block=ROWS_PER_BLOCK,
+            input_cells=self._rlc_input_cells,
+            output_cells=self._rlc_output_cells,
+            host_in_cells=self._host_in_cells,
+            host_out_cells=self._host_out_cells,
+        )
+
+    def _rlc_input_cells(self, view):
+        from ..stark.field_expr import lane_concat
+
+        s = START_FLAGS
+        ab = view.cols(0, 24 * N_LIMBS)
+        restored = (view.col(s + 5) * 2 + view.col(s + 3)).lane()
+        return lane_concat([ab, restored])
+
+    def _rlc_output_cells(self, view):
+        return view.cols(12 * N_LIMBS, 24 * N_LIMBS)
+
+    def _host_in_cells(self, trace, row):
+        s = START_FLAGS
+        cells = [int(v) for v in trace[row, : 24 * N_LIMBS]]
+        cells.append(int(trace[row, s + 5]) * 2 + int(trace[row, s + 3]))
+        return cells
+
+    def _host_out_cells(self, trace, row):
+        return [int(v) for v in trace[row, 12 * N_LIMBS : 24 * N_LIMBS]]
+
+    def generate_aux(self, trace, gammas):
+        return self._rlc_binding().generate_aux(trace, gammas, self.num_io)
+
+    def eval_extra(self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset):
+        self._rlc_binding().eval_extra(
+            lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset,
+            is_final=lv.col(START_FLAGS), num_io=self.num_io,
+        )
 
     def pulse_positions(self) -> list[int]:
         pos = []
@@ -120,8 +175,13 @@ class Fq12ExpU64Air(Air):
             assert b_val[i].to_fq_list() == expected.to_fq_list()
 
         trace = main.reshape(n, NUM_MAIN)
-        io_pulses = pu.generate_pulse(n, self.pulse_positions())
-        base = np.concatenate([trace, io_pulses], axis=1)
+        if self.io_binding == "pulse":
+            io_cols = pu.generate_pulse(n, self.pulse_positions())
+        else:
+            io_cols = pu.generate_periodic_pulse_witness(
+                trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+            )
+        base = np.concatenate([trace, io_cols], axis=1)
         rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
@@ -161,14 +221,20 @@ class Fq12ExpU64Air(Air):
         val = lv.col(s + 5)
         not_final = 1 - is_final
 
-        sum_out = None
-        for i in range(io):
-            v = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
-            sum_out = v if sum_out is None else sum_out + v
-        cc.constraint(is_final - sum_out)
+        if self.io_binding == "rlc":
+            pu.eval_periodic_pulse(
+                cc, lv, nv, START_FLAGS, self.start_final_periodic,
+                ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1,
+            )
+        else:
+            sum_out = None
+            for i in range(io):
+                v = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
+                sum_out = v if sum_out is None else sum_out + v
+            cc.constraint(is_final - sum_out)
 
         restored = val * 2 + is_mul
-        for i in range(io):
+        for i in range(io if self.io_binding == "pulse" else 0):
             off = FQ12_EXP_U64_IO_LEN * i
             is_in = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i))
             is_out = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
@@ -201,5 +267,6 @@ class Fq12ExpU64Air(Air):
         fq12g.eval_fq12_mul(cc, is_sq, a, a, out)
         fq12g.eval_fq12_mul(cc, is_mul, a, b, out)
 
-        pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
+        if self.io_binding == "pulse":
+            pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
         self.rc_spec.eval(cc, lv, nv)

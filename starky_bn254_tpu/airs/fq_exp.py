@@ -60,19 +60,94 @@ def u16_to_u32_lanes(v: Val) -> Val:
 class FqExpAir(Air):
     """num_io independent `offset * x^exp` instances, 512 rows each."""
 
-    def __init__(self, num_io: int, range_check: str = "auto"):
+    def __init__(
+        self, num_io: int, range_check: str = "auto", io_binding: str = "auto"
+    ):
         self.num_io = num_io
         if range_check == "auto":
             range_check = "logup_u16" if num_io >= 128 else "logup"
         assert range_check in ("u16", "split", "logup", "logup_u16")
         self.range_check = range_check
+        if io_binding == "auto":
+            io_binding = "rlc" if num_io >= 128 else "pulse"
+        assert io_binding in ("pulse", "rlc")
+        self.io_binding = io_binding
 
         self.start_periodic = NUM_MAIN
-        self.start_io_pulses = NUM_MAIN + 2
-        self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        if io_binding == "pulse":
+            self.start_io_pulses = NUM_MAIN + 2
+            self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        else:
+            self.start_final_periodic = NUM_MAIN + 2
+            self.start_lookups = NUM_MAIN + 4
         self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
         self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = FQ_EXP_IO_LEN * num_io
+
+    def aux_extra_width(self) -> int:
+        return 2 if self.io_binding == "rlc" else 0
+
+    # -------------------------------------------------------- rlc IO binding
+    def _rlc_binding(self):
+        from ..stark.io_rlc import RlcIoBinding
+
+        return RlcIoBinding(
+            io_len=FQ_EXP_IO_LEN,
+            in_len=24,
+            rows_per_block=ROWS_PER_BLOCK,
+            input_cells=self._input_cells,
+            output_cells=self._output_cells,
+            host_in_cells=self._host_in_cells,
+            host_out_cells=self._host_out_cells,
+        )
+
+    def _input_cells(self, view):
+        from ..stark.field_expr import lane_concat
+
+        s = START_FLAGS
+        a32 = u16_to_u32_lanes(view.cols(0, N_LIMBS))
+        b32 = u16_to_u32_lanes(view.cols(N_LIMBS, 2 * N_LIMBS))
+        limbs = view.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
+        first = Val(
+            limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
+        )
+        rest = Val(
+            limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
+        )
+        restored0 = first * 2 + view.col(s + 4).lane()
+        return lane_concat([a32, b32, restored0, rest])
+
+    def _output_cells(self, view):
+        return u16_to_u32_lanes(view.cols(N_LIMBS, 2 * N_LIMBS))
+
+    @staticmethod
+    def _u32_cells(trace, row, cols):
+        cells = []
+        for k in cols:
+            limbs = trace[row, k * N_LIMBS : (k + 1) * N_LIMBS]
+            for t in range(8):
+                cells.append(int(limbs[2 * t]) + (int(limbs[2 * t + 1]) << 16))
+        return cells
+
+    def _host_in_cells(self, trace, row):
+        s = START_FLAGS
+        cells = self._u32_cells(trace, row, (0, 1))
+        limbs = [int(v) for v in trace[row, s + 6 : s + 6 + fl.NUM_INPUT_LIMBS]]
+        cells.append(limbs[0] * 2 + int(trace[row, s + 4]))
+        cells += limbs[1:]
+        return cells
+
+    def _host_out_cells(self, trace, row):
+        return self._u32_cells(trace, row, (1,))
+
+    def generate_aux(self, trace, gammas):
+        return self._rlc_binding().generate_aux(trace, gammas, self.num_io)
+
+    def eval_extra(self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset):
+        self._rlc_binding().eval_extra(
+            lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset,
+            is_final=lv.col(START_FLAGS), num_io=self.num_io,
+        )
 
     # ------------------------------------------------------------------ trace
     def pulse_positions(self) -> list[int]:
@@ -160,9 +235,13 @@ class FqExpAir(Air):
         periodic = pu.generate_periodic_pulse_witness(
             trace[:, START_FLAGS + 1], 2 * fl.INPUT_LIMB_BITS, 2 * fl.INPUT_LIMB_BITS - 2
         )
-        io_pulses = pu.generate_pulse(n, self.pulse_positions())
-        parts = [trace, periodic, io_pulses]
-        base = np.concatenate(parts, axis=1)
+        if self.io_binding == "pulse":
+            io_cols = pu.generate_pulse(n, self.pulse_positions())
+        else:
+            io_cols = pu.generate_periodic_pulse_witness(
+                trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+            )
+        base = np.concatenate([trace, periodic, io_cols], axis=1)
         rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
@@ -201,15 +280,30 @@ class FqExpAir(Air):
         is_mul = lv.col(s + 4)
         not_final = 1 - is_final
 
+        if self.io_binding == "rlc":
+            # is_final pinned as a periodic pulse; PI bound via eval_extra
+            pu.eval_periodic_pulse(
+                cc,
+                lv,
+                nv,
+                START_FLAGS,
+                self.start_final_periodic,
+                ROWS_PER_BLOCK,
+                ROWS_PER_BLOCK - 1,
+            )
+            self._eval_pulse_io = False
+        else:
+            self._eval_pulse_io = True
         # is_final is exactly the sum of the per-instance output pulses
-        out_pulse_cols = [
-            pu.get_pulse_col(self.start_io_pulses, 2 * i + 1) for i in range(io)
-        ]
-        sum_out = None
-        for pc in out_pulse_cols:
-            v = lv.col(pc)
-            sum_out = v if sum_out is None else sum_out + v
-        cc.constraint(is_final - sum_out)
+        if self._eval_pulse_io:
+            out_pulse_cols = [
+                pu.get_pulse_col(self.start_io_pulses, 2 * i + 1) for i in range(io)
+            ]
+            sum_out = None
+            for pc in out_pulse_cols:
+                v = lv.col(pc)
+                sum_out = v if sum_out is None else sum_out + v
+            cc.constraint(is_final - sum_out)
 
         # public IO pinned at block boundaries
         a32 = u16_to_u32_lanes(a)
@@ -221,7 +315,7 @@ class FqExpAir(Air):
         rest = Val(limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext)
         from ..stark.field_expr import stack_vals
         restored0 = first * 2 + bit.lane()
-        for i in range(io):
+        for i in range(io if self._eval_pulse_io else 0):
             off = FQ_EXP_IO_LEN * i
             x_pi = pi.cols(off, off + 8)
             offset_pi = pi.cols(off + 8, off + 16)
@@ -280,7 +374,8 @@ class FqExpAir(Air):
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
-        pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
+        if self._eval_pulse_io:
+            pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
         self.rc_spec.eval(cc, lv, nv)
 
 

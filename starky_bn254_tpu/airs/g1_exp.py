@@ -289,9 +289,22 @@ class G1ExpAir(Air):
         self.rc_spec.eval(cc, lv, nv)
 
     # ---------------------------------------------------- rlc IO binding aux
-    def _input_cells(self, view, at):
-        """The 40 input cells (x, offset as u32 lanes; exp limbs with the
-        first bit restored) read from a block-start row of `view`."""
+    def _rlc_binding(self):
+        from ..stark.io_rlc import RlcIoBinding
+
+        return RlcIoBinding(
+            io_len=G1_EXP_IO_LEN,
+            in_len=40,
+            rows_per_block=ROWS_PER_BLOCK,
+            input_cells=self._input_cells,
+            output_cells=self._output_cells,
+            host_in_cells=self._host_in_cells,
+            host_out_cells=self._host_out_cells,
+        )
+
+    def _input_cells(self, view):
+        """40 input cells (x, offset u32 lanes; exp limbs with the first bit
+        restored) read from a block-start row."""
         from ..stark.field_expr import lane_concat
 
         s = START_FLAGS
@@ -303,7 +316,9 @@ class G1ExpAir(Air):
         first = Val(
             limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
         )
-        rest = Val(limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext)
+        rest = Val(
+            limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
+        )
         restored0 = first * 2 + view.col(s + 4).lane()
         return lane_concat(coords + [restored0, rest])
 
@@ -318,139 +333,38 @@ class G1ExpAir(Air):
         )
 
     @staticmethod
-    def _gamma_powers(gamma, upto: int):
-        """[gamma^1, ..., gamma^upto] as Vals (short sequential chain)."""
-        powers = [gamma]
-        for _ in range(upto - 1):
-            powers.append(powers[-1] * gamma)
-        return powers
+    def _u32_cells(trace, row, cols):
+        cells = []
+        for k in cols:
+            limbs = trace[row, k * N_LIMBS : (k + 1) * N_LIMBS]
+            for t in range(8):
+                cells.append(int(limbs[2 * t]) + (int(limbs[2 * t + 1]) << 16))
+        return cells
+
+    def _host_in_cells(self, trace, row):
+        s = START_FLAGS
+        cells = self._u32_cells(trace, row, range(4))
+        limbs = [int(v) for v in trace[row, s + 6 : s + 6 + fl.NUM_INPUT_LIMBS]]
+        cells.append(limbs[0] * 2 + int(trace[row, s + 4]))
+        cells += limbs[1:]
+        return cells
+
+    def _host_out_cells(self, trace, row):
+        return self._u32_cells(trace, row, (2, 3))
 
     def generate_aux(self, trace, gammas):
-        """W (gamma^{56k} per block) and A (IO accumulator) per challenge."""
-        import numpy as np
-
-        from .. import goldilocks as gl
-
-        io, n = self.num_io, trace.shape[0]
-        cols = []
-        for g in gammas:
-            g = int(g)
-            g56 = pow(g, G1_EXP_IO_LEN, gl.P)
-            w = np.empty(n, dtype=np.uint64)
-            a = np.empty(n, dtype=np.uint64)
-            wk = 1
-            acc = 0
-            for k in range(io):
-                base = k * ROWS_PER_BLOCK
-                w[base : base + ROWS_PER_BLOCK] = wk
-                a[base : base + ROWS_PER_BLOCK] = acc
-                if k < io - 1:
-                    end = base + ROWS_PER_BLOCK - 1
-                    inc = wk * self._rlc_out_int(trace, end, g) % gl.P
-                    inc = (
-                        inc + wk * g56 % gl.P * self._rlc_in_int(trace, end + 1, g)
-                    ) % gl.P
-                    acc = (acc + inc) % gl.P
-                wk = wk * g56 % gl.P
-            cols += [w, a]
-        return np.stack(cols, axis=1)
-
-    def _rlc_out_int(self, trace, row, g):
-        from .. import goldilocks as gl
-
-        cells = []
-        for k in (2, 3):  # b_x, b_y u32 lanes
-            limbs = trace[row, k * N_LIMBS : (k + 1) * N_LIMBS]
-            for t in range(8):
-                cells.append(int(limbs[2 * t]) + (int(limbs[2 * t + 1]) << 16))
-        acc = 0
-        for j, c in enumerate(cells):
-            acc = (acc + pow(g, 40 + j + 1, gl.P) * c) % gl.P
-        return acc
-
-    def _rlc_in_int(self, trace, row, g):
-        from .. import goldilocks as gl
-
-        s = START_FLAGS
-        cells = []
-        for k in range(4):  # a_x a_y b_x b_y u32 lanes
-            limbs = trace[row, k * N_LIMBS : (k + 1) * N_LIMBS]
-            for t in range(8):
-                cells.append(int(limbs[2 * t]) + (int(limbs[2 * t + 1]) << 16))
-        limbs = [int(v) for v in trace[row, s + 6 : s + 6 + fl.NUM_INPUT_LIMBS]]
-        bit = int(trace[row, s + 4])
-        cells.append(limbs[0] * 2 + bit)
-        cells += limbs[1:]
-        acc = 0
-        for j, c in enumerate(cells):
-            acc = (acc + pow(g, j + 1, gl.P) * c) % gl.P
-        return acc
+        return self._rlc_binding().generate_aux(trace, gammas, self.num_io)
 
     def eval_extra(self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset):
-        import jax.numpy as jnp
-
-        from .. import goldilocks as gl
-        from ..stark.field_expr import stack_vals
-
-        io = self.num_io
-        L = G1_EXP_IO_LEN
-        is_final = lv.col(START_FLAGS)
-        for ci, gamma in enumerate(gammas):
-            w_col = aux_offset + 2 * ci
-            a_col = aux_offset + 2 * ci + 1
-            w = aux_lv.col(w_col)
-            a_acc = aux_lv.col(a_col)
-            w_next = aux_nv.col(w_col)
-            a_next = aux_nv.col(a_col)
-
-            gpow = self._gamma_powers(gamma, L)  # gpow[j] = gamma^{j+1}
-            g56 = gpow[L - 1]
-
-            def rlc(cells, base_exp: int):
-                k = cells.arr.shape[-2 if cells.ext else -1]
-                weights = stack_vals([gpow[base_exp + j] for j in range(k)])
-                prod = cells * weights
-                axis = -2 if cells.ext else -1
-                return Val(gl.sum_mod(prod.arr, axis=axis), cells.ext)
-
-            cc.constraint_first_row(w - 1)
-            cc.constraint_first_row(a_acc)
-            cc.constraint_transition(w_next - w * (1 + is_final * (g56 - 1)))
-
-            out_rlc = rlc(self._output_cells(lv), 40)  # gamma^41..56
-            in_rlc = rlc(self._input_cells(nv, "next"), 0)  # gamma^1..40
-            inc = is_final * w * (out_rlc + g56 * in_rlc)
-            cc.constraint_transition(a_next - a_acc - inc)
-
-            # expected values from the public inputs (vectorized: one
-            # block-RLC matvec + one powers-of-gamma^56 dot)
-            pi_all = pi.cols(0, L * io)
-            if pi_all.ext:
-                mat = pi_all.arr.reshape(io, L, 2)
-                w56 = stack_vals(gpow).arr  # [L, 2]
-                blk = gl.sum_mod(gl.ext_mul(mat, w56[None, :, :]), axis=1)  # [io,2]
-                wks = gl.ext_powers_vec(g56.arr, io)  # [io, 2]
-                expected_full = Val(
-                    gl.sum_mod(gl.ext_mul(blk, wks), axis=0), True
-                )
-            else:
-                mat = pi_all.arr.reshape(io, L)
-                w56 = stack_vals(gpow).arr  # [L]
-                blk = gl.sum_mod(gl.mul(mat, w56[None, :]), axis=1)  # [io]
-                wks = gl.powers_vec(g56.arr, io)
-                expected_full = Val(gl.sum_mod(gl.mul(blk, wks), axis=0), False)
-
-            in0 = rlc(pi.cols(0, 40), 0)
-            out_last_pi = rlc(pi.cols(L * (io - 1) + 40, L * io), 40)
-            if io > 1:
-                wk_last = Val(
-                    (wks[io - 1] if not pi_all.ext else wks[io - 1]), pi_all.ext
-                )
-                out_last_scaled = wk_last * out_last_pi
-            else:
-                out_last_scaled = out_last_pi
-            partial = expected_full - in0 - out_last_scaled
-
-            cc.constraint_first_row(rlc(self._input_cells(lv, "cur"), 0) - in0)
-            cc.constraint_last_row(out_rlc - out_last_pi)
-            cc.constraint_last_row(a_acc - partial)
+        self._rlc_binding().eval_extra(
+            lv,
+            nv,
+            aux_lv,
+            aux_nv,
+            gammas,
+            pi,
+            cc,
+            aux_offset,
+            is_final=lv.col(START_FLAGS),
+            num_io=self.num_io,
+        )

@@ -33,18 +33,101 @@ ROWS_PER_BLOCK = fl.NUM_FLAG_ROWS
 
 
 class G2ExpAir(Air):
-    def __init__(self, num_io: int, range_check: str = "auto"):
+    def __init__(
+        self, num_io: int, range_check: str = "auto", io_binding: str = "auto"
+    ):
         self.num_io = num_io
         if range_check == "auto":
             range_check = "logup_u16" if num_io >= 128 else "logup"
         assert range_check in ("u16", "split", "logup", "logup_u16")
         self.range_check = range_check
+        if io_binding == "auto":
+            io_binding = "rlc" if num_io >= 128 else "pulse"
+        assert io_binding in ("pulse", "rlc")
+        self.io_binding = io_binding
         self.start_periodic = NUM_MAIN
-        self.start_io_pulses = NUM_MAIN + 2
-        self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        if io_binding == "pulse":
+            self.start_io_pulses = NUM_MAIN + 2
+            self.start_lookups = self.start_io_pulses + 1 + 4 * num_io
+        else:
+            self.start_final_periodic = NUM_MAIN + 2
+            self.start_lookups = NUM_MAIN + 4
         self.rc_spec = rc.RangeCheckSpec(range_check, self.start_lookups, RANGE_TARGETS)
         self.num_columns = self.start_lookups + self.rc_spec.num_added
         self.num_public_inputs = G2_EXP_IO_LEN * num_io
+
+    def aux_extra_width(self) -> int:
+        return 2 if self.io_binding == "rlc" else 0
+
+    def _rlc_binding(self):
+        from ..stark.io_rlc import RlcIoBinding
+
+        return RlcIoBinding(
+            io_len=G2_EXP_IO_LEN,
+            in_len=72,
+            rows_per_block=ROWS_PER_BLOCK,
+            input_cells=self._rlc_input_cells,
+            output_cells=self._rlc_output_cells,
+            host_in_cells=self._host_in_cells,
+            host_out_cells=self._host_out_cells,
+        )
+
+    def _rlc_input_cells(self, view):
+        from ..stark.field_expr import lane_concat
+
+        s = START_FLAGS
+        coords = [
+            u16_to_u32_lanes(view.cols(k * N_LIMBS, (k + 1) * N_LIMBS))
+            for k in range(8)
+        ]
+        limbs = view.cols(s + 6, s + 6 + fl.NUM_INPUT_LIMBS)
+        first = Val(
+            limbs.arr[..., 0:1, :] if limbs.ext else limbs.arr[..., 0:1], limbs.ext
+        )
+        rest = Val(
+            limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
+        )
+        restored0 = first * 2 + view.col(s + 4).lane()
+        return lane_concat(coords + [restored0, rest])
+
+    def _rlc_output_cells(self, view):
+        from ..stark.field_expr import lane_concat
+
+        return lane_concat(
+            [
+                u16_to_u32_lanes(view.cols(k * N_LIMBS, (k + 1) * N_LIMBS))
+                for k in (4, 5, 6, 7)
+            ]
+        )
+
+    @staticmethod
+    def _u32_cells(trace, row, cols):
+        cells = []
+        for k in cols:
+            limbs = trace[row, k * N_LIMBS : (k + 1) * N_LIMBS]
+            for t in range(8):
+                cells.append(int(limbs[2 * t]) + (int(limbs[2 * t + 1]) << 16))
+        return cells
+
+    def _host_in_cells(self, trace, row):
+        s = START_FLAGS
+        cells = self._u32_cells(trace, row, range(8))
+        limbs = [int(v) for v in trace[row, s + 6 : s + 6 + fl.NUM_INPUT_LIMBS]]
+        cells.append(limbs[0] * 2 + int(trace[row, s + 4]))
+        cells += limbs[1:]
+        return cells
+
+    def _host_out_cells(self, trace, row):
+        return self._u32_cells(trace, row, (4, 5, 6, 7))
+
+    def generate_aux(self, trace, gammas):
+        return self._rlc_binding().generate_aux(trace, gammas, self.num_io)
+
+    def eval_extra(self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset):
+        self._rlc_binding().eval_extra(
+            lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset,
+            is_final=lv.col(START_FLAGS), num_io=self.num_io,
+        )
 
     def pulse_positions(self) -> list[int]:
         pos = []
@@ -155,8 +238,13 @@ class G2ExpAir(Air):
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
-        io_pulses = pu.generate_pulse(n, self.pulse_positions())
-        base = np.concatenate([trace, periodic, io_pulses], axis=1)
+        if self.io_binding == "pulse":
+            io_cols = pu.generate_pulse(n, self.pulse_positions())
+        else:
+            io_cols = pu.generate_periodic_pulse_witness(
+                trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+            )
+        base = np.concatenate([trace, periodic, io_cols], axis=1)
         rc_cols = self.rc_spec.generate(base)
         trace_full = np.concatenate([base, rc_cols], axis=1)
         assert trace_full.shape[1] == self.num_columns
@@ -201,11 +289,22 @@ class G2ExpAir(Air):
         is_add = lv.col(s + 4)
         not_final = 1 - is_final
 
-        sum_out = None
-        for i in range(io):
-            v = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
-            sum_out = v if sum_out is None else sum_out + v
-        cc.constraint(is_final - sum_out)
+        if self.io_binding == "rlc":
+            pu.eval_periodic_pulse(
+                cc,
+                lv,
+                nv,
+                START_FLAGS,
+                self.start_final_periodic,
+                ROWS_PER_BLOCK,
+                ROWS_PER_BLOCK - 1,
+            )
+        else:
+            sum_out = None
+            for i in range(io):
+                v = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
+                sum_out = v if sum_out is None else sum_out + v
+            cc.constraint(is_final - sum_out)
 
         coords32 = [
             u16_to_u32_lanes(c)
@@ -219,7 +318,7 @@ class G2ExpAir(Air):
             limbs.arr[..., 1:, :] if limbs.ext else limbs.arr[..., 1:], limbs.ext
         )
         restored0 = first * 2 + is_add.lane()
-        for i in range(io):
+        for i in range(io if self.io_binding == "pulse" else 0):
             off = G2_EXP_IO_LEN * i
             is_in = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i))
             is_out = lv.col(pu.get_pulse_col(self.start_io_pulses, 2 * i + 1))
@@ -271,5 +370,6 @@ class G2ExpAir(Air):
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
-        pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
+        if self.io_binding == "pulse":
+            pu.eval_pulse(cc, lv, nv, self.start_io_pulses, self.pulse_positions())
         self.rc_spec.eval(cc, lv, nv)

@@ -47,19 +47,27 @@ class MerkleTree:
         return jnp.stack(sibs)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cap_height",))
+def _build_levels(leaves: jnp.ndarray, cap_height: int):
+    """All tree levels in ONE compiled graph (remote compiles are expensive;
+    per-level dispatch would cost one compile per level shape)."""
+    digests = poseidon.hash_or_noop(leaves)
+    levels = [digests]
+    while levels[-1].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        levels.append(poseidon.compress(cur[0::2], cur[1::2]))
+    return tuple(levels)
+
+
 def build_merkle_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
     """leaves: [n, width] uint64; n must be a power of two >= 2^cap_height."""
     n = leaves.shape[0]
     assert n & (n - 1) == 0
     assert 1 << cap_height <= n
-
-    digests = poseidon.hash_or_noop(leaves)
-    levels = [digests]
-    while levels[-1].shape[0] > (1 << cap_height):
-        cur = levels[-1]
-        left = cur[0::2]
-        right = cur[1::2]
-        levels.append(poseidon.compress(left, right))
+    levels = list(_build_levels(leaves, cap_height))
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 

@@ -18,7 +18,9 @@ class FriConfig:
     proof_of_work_bits: int = 16
     num_query_rounds: int = 84
     # stop folding when the layer's polynomial degree is <= 2^final_poly_bits
-    final_poly_bits: int = 5
+    # (slightly larger final polys trade a few KB of proof for fewer fold
+    # layers => fewer compiled graphs and Merkle paths)
+    final_poly_bits: int = 7
 
     @property
     def blowup(self) -> int:
