@@ -81,6 +81,14 @@ def main():
     assert verify(air, proof, cfg)
     t_verify = time.time() - t0
 
+    import tempfile
+
+    from starky_bn254_tpu.stark import save_proof
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        save_proof(f.name, proof)
+        proof_bytes = os.path.getsize(f.name)
+
     exps_per_s = num_io / t_prove
     baseline_file = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
@@ -105,6 +113,7 @@ def main():
             "prove_first_s": round(t_first, 3),
             "prove_s": round(t_prove, 3),
             "verify_s": round(t_verify, 3),
+            "proof_bytes": proof_bytes,
             "phases": tt.as_dict(),
             "device": str(jax.devices()[0]),
         },

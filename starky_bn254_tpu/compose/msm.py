@@ -139,6 +139,38 @@ class Fq12MultiExp:
         return fq12_at(num_io - 1, 2).to_fq_list() == result.to_fq_list()
 
 
+def prove_g1_msm(points, scalars, cfg=None, range_check="auto", io_binding="auto"):
+    """One-call MSM proof: returns (proof, result_point, air).
+
+    Builds the offset chain, pads to a power of two, generates the trace and
+    proves it. Verify with `verify_g1_msm`."""
+    import jax.numpy as jnp
+
+    from ..airs.g1_exp import G1ExpAir
+    from ..stark import StarkConfig, prove
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    msm = G1Msm()
+    inputs, result = msm.build_inputs(points, scalars)
+    n_real = len(inputs)
+    inputs = pad_instances(inputs)
+    air = G1ExpAir(len(inputs), range_check=range_check, io_binding=io_binding)
+    trace, pi = air.generate_trace_and_pi(inputs)
+    proof = prove(air, jnp.asarray(trace), pi, cfg)
+    return proof, result, air, n_real
+
+
+def verify_g1_msm(proof, result, air, n_real: int, cfg=None) -> bool:
+    from ..stark import verify
+
+    from ..stark import StarkConfig
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    if not verify(air, proof, cfg):
+        return False
+    return G1Msm().check_chain(proof.public_inputs, n_real, result)
+
+
 def g2_mul_by_cofactor_input(p) -> tuple:
     """One G2ExpAir instance computing cofactor * P (reference
     g2/circuit.rs:335-367, cofactor constant :346-349). Combined with a

@@ -151,7 +151,10 @@ def generate_logup_range_check(
     """
     n = trace_cols.shape[0]
     range_max = 1 << 8
-    assert n >= range_max and n & (n - 1) == 0
+    assert n & (n - 1) == 0
+    assert n >= range_max, (
+        f"8-bit lookup table needs >= 256 rows (got {n}); use a larger batch"
+    )
     table = _table(n, range_max)
     split_cols = []
     counts = np.zeros(range_max, dtype=np.int64)

@@ -124,28 +124,37 @@ class RowView:
 
     prover: data [N, C] base field, ext=False. col(i) -> Val [N].
     verifier: data [C, 2] extension, ext=True. col(i) -> Val [2].
+
+    `shift` (prover only) rolls rows lazily per accessed column — the `next`
+    view of a multi-GB LDE must not materialize a full rolled copy.
     """
 
-    def __init__(self, data, ext: bool):
+    def __init__(self, data, ext: bool, shift: int = 0):
         self.data = data
         self.ext = ext
+        self.shift = shift
+
+    def _rolled(self, arr):
+        if self.shift:
+            return jnp.roll(arr, self.shift, axis=0)
+        return arr
 
     def col(self, i: int) -> Val:
         if self.ext:
             return Val(self.data[i], True)
-        return Val(self.data[:, i], False)
+        return Val(self._rolled(self.data[:, i]), False)
 
     def cols(self, start: int, stop: int) -> Val:
         """Lane-stacked slice of columns [start, stop)."""
         if self.ext:
             return Val(self.data[start:stop], True)
-        return Val(self.data[:, start:stop], False)
+        return Val(self._rolled(self.data[:, start:stop]), False)
 
     def cols_idx(self, indices) -> Val:
         idx = jnp.asarray(np.asarray(indices, dtype=np.int32))
         if self.ext:
             return Val(self.data[idx], True)
-        return Val(self.data[:, idx], False)
+        return Val(self._rolled(self.data[:, idx]), False)
 
 
 class PublicInputsView:

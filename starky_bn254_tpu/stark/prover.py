@@ -35,7 +35,6 @@ QUOTIENT_CHUNKS = 2  # constraint degree 3 => quotient degree < 2n
 
 @dataclass
 class Commitment:
-    values: jnp.ndarray  # [n, C] subgroup evaluations
     coeffs: jnp.ndarray  # [n, C]
     lde: jnp.ndarray  # [N, C]
     tree: merkle.MerkleTree
@@ -47,7 +46,8 @@ def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
     n_lde = lde.shape[0]
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
     tree = merkle.build_merkle_tree(lde, cap_h)
-    return Commitment(values, coeffs, lde, tree)
+    # the subgroup evaluations are not retained (multi-GB at 2^20 rows)
+    return Commitment(coeffs, lde, tree)
 
 
 import jax
@@ -135,7 +135,7 @@ def _composition_fn(air: Air, n: int, cfg: StarkConfig, has_z: bool):
 
     def fn(trace_lde, z_lde, public_inputs, alphas, gammas):
         lv = RowView(trace_lde, ext=False)
-        nv = RowView(jnp.roll(trace_lde, -blowup, axis=0), ext=False)
+        nv = RowView(trace_lde, ext=False, shift=-blowup)
         pi = PublicInputsView(public_inputs, ext=False)
         alphas_v = [Val(alphas[i], False) for i in range(cfg.num_challenges)]
         cc = ConstraintConsumer(
@@ -147,7 +147,7 @@ def _composition_fn(air: Air, n: int, cfg: StarkConfig, has_z: bool):
         air.eval(lv, nv, pi, cc)
         if has_z:
             z_lv = RowView(z_lde, ext=False)
-            z_nv = RowView(jnp.roll(z_lde, -blowup, axis=0), ext=False)
+            z_nv = RowView(z_lde, ext=False, shift=-blowup)
             gammas_v = [Val(gammas[i], False) for i in range(cfg.num_challenges)]
             if pairs:
                 permutation_constraints(

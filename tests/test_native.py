@@ -118,8 +118,10 @@ def test_fq12_batch_trace_matches_scalar():
             [int.from_bytes(RNG.bytes(40), "little") % bn254.P_BN for _ in range(12)]
         )
 
-    inputs = [(rfq12(), rfq12(), int(RNG.integers(1, 1 << 62)))]
-    air = Fq12ExpU64Air(1)
+    inputs = [
+        (rfq12(), rfq12(), int(RNG.integers(1, 1 << 62))) for _ in range(2)
+    ]
+    air = Fq12ExpU64Air(2)
     t_fast, pi_fast = air.generate_trace_and_pi(inputs)
     orig = native.available
     try:
