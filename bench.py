@@ -1,32 +1,43 @@
-"""Benchmark: G1 scalar-multiplication proving throughput (the BASELINE.md
-headline workload). Prints ONE JSON line:
+"""Benchmark entry point. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
-against this project's own recorded first measurement when available
-(bench_baseline.json), else 1.0.
+Primary metric: G1 scalar-multiplication proving throughput (exp instances/s,
+BASELINE.md headline). The tunneled-TPU environment compiles remotely at
+minutes-per-graph, so the full prover pipeline may not finish compiling
+inside a bench window on a cold cache; in that case this falls back to the
+trace-commitment throughput kernel (INTT + coset LDE + Poseidon Merkle tree
+— the dominant prover stage) whose graphs compile first. The persistent
+compile cache (.jax_cache-<platform>) makes later rounds start warm.
 
-Env knobs: STARKY_BENCH_NUM_IO (default 16), STARKY_BENCH_AIR (g1|fq).
+Env knobs:
+  STARKY_BENCH_NUM_IO   instance count            (default 16)
+  STARKY_BENCH_AIR      g1 | fq                   (default g1)
+  STARKY_BENCH_TIMEOUT  full-prove budget seconds (default 3300)
+  STARKY_BENCH_MODE     auto | full | commit      (default auto)
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import numpy as np  # noqa: E402
-
-import starky_bn254_tpu  # noqa: F401, E402  (x64 + cache config)
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
-from starky_bn254_tpu import bn254  # noqa: E402
-from starky_bn254_tpu.stark import StarkConfig, prove, verify  # noqa: E402
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 
-def main():
+def full_bench() -> int:
+    """Runs the full prove/verify benchmark; prints the JSON line."""
+    import numpy as np
+
+    import starky_bn254_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from starky_bn254_tpu import bn254
+    from starky_bn254_tpu.stark import StarkConfig, prove, save_proof, verify
+    from starky_bn254_tpu.utils.timing import TimingTree
+
     num_io = int(os.environ.get("STARKY_BENCH_NUM_IO", "16"))
     air_kind = os.environ.get("STARKY_BENCH_AIR", "g1")
     rng = np.random.default_rng(0)
@@ -49,7 +60,6 @@ def main():
             )
             for _ in range(num_io)
         ]
-        trace, pi = air.generate_trace_and_pi(inputs)
     else:
         from starky_bn254_tpu.airs.fq_exp import FqExpAir
 
@@ -59,18 +69,15 @@ def main():
             return int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
 
         inputs = [(rand_fq(), rand_fq(), rand_scalar()) for _ in range(num_io)]
-        trace, pi = air.generate_trace_and_pi(inputs)
+    trace, pi = air.generate_trace_and_pi(inputs)
     t_tracegen = time.time() - t0
 
     trace_dev = jnp.asarray(trace)
     jax.block_until_ready(trace_dev)
 
-    # first prove includes compilation; second measures steady-state
     t0 = time.time()
     proof = prove(air, trace_dev, pi, cfg)
     t_first = time.time() - t0
-
-    from starky_bn254_tpu.utils.timing import TimingTree
 
     tt = TimingTree("prove")
     t0 = time.time()
@@ -83,42 +90,124 @@ def main():
 
     import tempfile
 
-    from starky_bn254_tpu.stark import save_proof
-
     with tempfile.NamedTemporaryFile(suffix=".npz") as f:
         save_proof(f.name, proof)
         proof_bytes = os.path.getsize(f.name)
 
     exps_per_s = num_io / t_prove
-    baseline_file = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    vs = 1.0
-    if os.path.exists(baseline_file):
-        try:
-            base = json.load(open(baseline_file))
-            if base.get("metric", "").startswith(air_kind) and base.get("value"):
-                vs = exps_per_s / float(base["value"])
-        except Exception:
-            pass
+    print(
+        json.dumps(
+            {
+                "metric": f"{air_kind}_exp_proof_instances_per_s",
+                "value": round(exps_per_s, 4),
+                "unit": "exp_instances/s",
+                "vs_baseline": _vs_baseline(f"{air_kind}_exp", exps_per_s),
+                "detail": {
+                    "num_io": num_io,
+                    "rows": int(trace.shape[0]),
+                    "columns": int(trace.shape[1]),
+                    "trace_gen_s": round(t_tracegen, 3),
+                    "prove_first_s": round(t_first, 3),
+                    "prove_s": round(t_prove, 3),
+                    "verify_s": round(t_verify, 3),
+                    "proof_bytes": proof_bytes,
+                    "phases": tt.as_dict(),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+    return 0
 
-    result = {
-        "metric": f"{air_kind}_exp_proof_instances_per_s",
-        "value": round(exps_per_s, 4),
-        "unit": "exp_instances/s",
-        "vs_baseline": round(vs, 4),
-        "detail": {
-            "num_io": num_io,
-            "rows": int(trace.shape[0]),
-            "columns": int(trace.shape[1]),
-            "trace_gen_s": round(t_tracegen, 3),
-            "prove_first_s": round(t_first, 3),
-            "prove_s": round(t_prove, 3),
-            "verify_s": round(t_verify, 3),
-            "proof_bytes": proof_bytes,
-            "phases": tt.as_dict(),
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+
+def commit_bench():
+    """Fallback: trace-commitment throughput on the G1 trace shape."""
+    import numpy as np
+
+    import starky_bn254_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from starky_bn254_tpu import merkle, ntt
+
+    num_io = int(os.environ.get("STARKY_BENCH_NUM_IO", "16"))
+    n = 512 * num_io
+    cols = 404  # G1ExpAir logup_u16 + rlc layout
+    rng = np.random.default_rng(0)
+    trace = jnp.asarray(rng.integers(0, 1 << 16, size=(n, cols), dtype=np.uint64))
+
+    def commit(tr):
+        coeffs = ntt.interpolate_coeffs(tr)
+        lde = ntt.lde_from_coeffs(coeffs, 1)
+        tree = merkle.build_merkle_tree(lde, 4)
+        return tree.cap
+
+    cap = commit(trace)
+    jax.block_until_ready(cap)
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        cap = commit(trace)
+        jax.block_until_ready(cap)
+    dt = (time.time() - t0) / reps
+    cells_per_s = n * cols / dt
+    print(
+        json.dumps(
+            {
+                "metric": "trace_commit_cells_per_s",
+                "value": round(cells_per_s, 1),
+                "unit": "trace_cells/s",
+                "vs_baseline": _vs_baseline("commit", cells_per_s),
+                "detail": {
+                    "rows": n,
+                    "columns": cols,
+                    "commit_s": round(dt, 4),
+                    "note": "fallback metric: full-prove compile exceeded the bench window",
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+def _vs_baseline(key: str, value: float) -> float:
+    path = os.path.join(REPO, "bench_baseline.json")
+    try:
+        base = json.load(open(path))
+        prev = float(base[key])
+        return round(value / prev, 4)
+    except Exception:
+        return 1.0
+
+
+def main():
+    mode = os.environ.get("STARKY_BENCH_MODE", "auto")
+    if os.environ.get("_STARKY_BENCH_CHILD") == "1" or mode == "full":
+        sys.exit(full_bench())
+    if mode == "commit":
+        commit_bench()
+        return
+    budget = int(os.environ.get("STARKY_BENCH_TIMEOUT", "3300"))
+    env = dict(os.environ)
+    env["_STARKY_BENCH_CHILD"] = "1"
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            timeout=budget,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode == 0 and '"metric"' in r.stdout:
+            # forward only the JSON line
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+        sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("full bench exceeded budget; falling back\n")
+    commit_bench()
 
 
 if __name__ == "__main__":
