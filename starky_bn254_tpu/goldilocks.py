@@ -186,32 +186,14 @@ import jax as _jax
 
 @_jax.jit
 def batch_inv(a):
-    """Montgomery batch inversion along a flat array: 1 inv + 3(n-1) muls.
+    """Elementwise Fermat inversion (a^(p-2)); zeros map to zero (matching
+    the pulse-witness convention, reference src/utils/pulse.rs:29-36).
 
-    Zeros map to zero (matching the pulse-witness convention, reference
-    src/utils/pulse.rs:29-36 where the inverse of 0 is stored as 0).
+    Deliberately NOT a Montgomery prefix-product trick: the associative
+    scans it needs compile pathologically on the TPU AOT path and serialize
+    the device, while ~100 fully-parallel squarings are cheap there.
     """
-    flat = a.reshape(-1)
-    safe = jnp.where(flat == 0, jnp.ones_like(flat), flat)
-
-    # prefix products via associative scan (log-depth on device)
-    import jax
-
-    prefix = jax.lax.associative_scan(mul, safe)
-    total_inv = inv(prefix[-1])
-
-    # suffix walk vectorized: inv_i = prefix_{i-1} * suffix_inv_i where
-    # suffix_inv_i = inv(prod_{j>=i}) = total_inv * prod_{j>i} ... compute via
-    # reversed scan of the reversed array.
-    rev = jnp.flip(safe)
-    rev_prefix = jax.lax.associative_scan(mul, rev)  # prod of last k elems
-    # suffix_after[i] = product of elements after i = flip(rev_prefix)[i+1]
-    suffix_incl = jnp.flip(rev_prefix)  # product of elems i..n-1
-    suffix_after = jnp.concatenate([suffix_incl[1:], jnp.ones_like(flat[:1])])
-    prefix_before = jnp.concatenate([jnp.ones_like(flat[:1]), prefix[:-1]])
-    out = mul(mul(prefix_before, suffix_after), total_inv)
-    out = jnp.where(flat == 0, jnp.zeros_like(flat), out)
-    return out.reshape(a.shape)
+    return inv(a)
 
 
 # ----------------------------------------------------------------------------
@@ -306,33 +288,56 @@ def sum_mod(x, axis: int):
 
 
 def powers_vec(base, n: int):
-    """[1, base, base^2, ..., base^{n-1}] for a scalar base (device array)."""
-    import jax
+    """[1, base, base^2, ..., base^{n-1}] for a scalar base (device array).
 
-    arr = jnp.broadcast_to(jnp.asarray(base, dtype=_U64), (n,))
-    prefix = jax.lax.associative_scan(mul, arr)
-    return jnp.concatenate([jnp.ones((1,), dtype=_U64), prefix[:-1]])
+    Doubling construction (log n concats, no scans): A_{k+1} = A_k ++
+    A_k * base^{2^k}."""
+    base = jnp.asarray(base, dtype=_U64)
+    out = jnp.ones((1,), dtype=_U64)
+    step = base
+    while out.shape[0] < n:
+        out = jnp.concatenate([out, mul(out, step)])
+        step = mul(step, step)
+    return out[:n]
 
 
 def cumprod(x):
-    """Modular cumulative product along axis 0 (inclusive)."""
-    import jax
-
-    return jax.lax.associative_scan(mul, x, axis=0)
+    """Modular cumulative product along axis 0 (inclusive); Hillis-Steele
+    doubling (log n shifted multiplies, no lax scans)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        pad_shape = (d,) + x.shape[1:]
+        shifted = jnp.concatenate(
+            [jnp.ones(pad_shape, dtype=_U64), x[:-d]], axis=0
+        )
+        x = mul(x, shifted)
+        d *= 2
+    return x
 
 
 def cumsum(x):
-    """Modular cumulative sum along axis 0 (inclusive)."""
-    import jax
-
-    return jax.lax.associative_scan(add, x, axis=0)
+    """Modular cumulative sum along axis 0 (inclusive); Hillis-Steele
+    doubling (log n shifted adds, no lax scans)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        pad_shape = (d,) + x.shape[1:]
+        shifted = jnp.concatenate(
+            [jnp.zeros(pad_shape, dtype=_U64), x[:-d]], axis=0
+        )
+        x = add(x, shifted)
+        d *= 2
+    return x
 
 
 def ext_powers_vec(base_ext, n: int):
-    """[(1,0), b, b^2, ..., b^{n-1}] for an extension scalar b: [n, 2]."""
-    import jax
-
-    arr = jnp.broadcast_to(jnp.asarray(base_ext, dtype=_U64), (n, 2))
-    prefix = jax.lax.associative_scan(ext_mul, arr, axis=0)
-    one = jnp.zeros((1, 2), dtype=_U64).at[0, 0].set(1)
-    return jnp.concatenate([one, prefix[:-1]], axis=0)
+    """[(1,0), b, b^2, ..., b^{n-1}] for an extension scalar b: [n, 2]
+    (scan-free doubling construction)."""
+    base = jnp.asarray(base_ext, dtype=_U64)
+    out = jnp.zeros((1, 2), dtype=_U64).at[0, 0].set(1)
+    step = base
+    while out.shape[0] < n:
+        out = jnp.concatenate([out, ext_mul(out, step[None, :])], axis=0)
+        step = ext_mul(step, step)
+    return out[:n]
