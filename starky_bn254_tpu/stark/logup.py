@@ -27,8 +27,6 @@ the Fq12-width traces in HBM.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,33 +47,59 @@ def table_aux_width(tables) -> int:
     return sum(2 + len(batches(t[2])) for t in tables)
 
 
-@functools.partial(jax.jit, static_argnames=("tables_key",))
-def _logup_cols_impl(trace, gammas, tables_key):
-    tables = tables_key
-    cols = []
-    for ci in range(gammas.shape[0]):
-        gamma = gammas[ci]
-        for (t_col, m_col, checked) in tables:
-            inv_t = gl.batch_inv(gl.add(trace[:, t_col], gamma))
-            g = gl.mul(trace[:, m_col], inv_t)
-            idx = jnp.asarray(np.array(checked, dtype=np.int32))
-            inv_c = gl.batch_inv(gl.add(trace[:, idx], gamma))  # [n, k]
-            if len(checked) % 2 == 1:
-                inv_c = jnp.pad(inv_c, ((0, 0), (0, 1)))
-            h_mat = gl.add(inv_c[:, 0::2], inv_c[:, 1::2])  # [n, B]
-            delta = gl.sub(gl.sum_mod(h_mat, axis=1), g)
-            csum = gl.cumsum(delta)
-            s = jnp.concatenate([jnp.zeros((1,), jnp.uint64), csum[:-1]])
-            cols.append(jnp.concatenate([g[:, None], h_mat, s[:, None]], axis=1))
-    return jnp.concatenate(cols, axis=1)
+# Deliberately SEVERAL small jit dispatches, each a strictly 2-D graph
+# with the challenge as a traced scalar: XLA compiles the ~90-deep Fermat
+# chain pathologically when it shares a graph with a Hillis-Steele prefix
+# scan (60-80s vs ~4s split at [1024, 1100]) or runs on a 3-D broadcast
+# over a challenge axis (28s vs 5s). g/h are committed columns so the
+# split materializes nothing extra; per-challenge calls share one
+# compiled executable. See the twin note in stark/prover.py.
+
+
+@jax.jit
+def _inv_shifted(vals, gamma):
+    """1/(vals + gamma) elementwise, scalar gamma (pure-elementwise graph)."""
+    return gl.batch_inv(gl.add(vals, gamma))
+
+
+@jax.jit
+def _logup_gh_2d(m_vals, inv_t, inv_c):
+    """g = m/(gamma+T), paired h matrix, per-row delta (shallow graph)."""
+    g = gl.mul(m_vals, inv_t)
+    if inv_c.shape[1] % 2 == 1:
+        inv_c = jnp.pad(inv_c, ((0, 0), (0, 1)))
+    h_mat = gl.add(inv_c[:, 0::2], inv_c[:, 1::2])  # [n, B]
+    delta = gl.sub(gl.sum_mod(h_mat, axis=1), g)
+    return g, h_mat, delta
+
+
+@jax.jit
+def _logup_scan_2d(deltas):
+    """Row-shifted cumsum of [n, D] deltas (scan-only graph)."""
+    csum = gl.cumsum(deltas)
+    return jnp.concatenate(
+        [jnp.zeros((1, deltas.shape[1]), jnp.uint64), csum[:-1]], axis=0
+    )
 
 
 def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.ndarray:
     """[n, nc * table_aux_width] aux columns, challenge-major then
     per-table [g | h... | S]."""
-    g = jnp.asarray(np.array(gammas, dtype=np.uint64))
-    key = tuple((t[0], t[1], tuple(t[2])) for t in tables)
-    return _logup_cols_impl(trace, g, key)
+    parts, deltas = [], []
+    for g_int in gammas:
+        gamma = jnp.uint64(g_int % gl.P)
+        for (t_col, m_col, checked) in tables:
+            idx = jnp.asarray(np.array(checked, dtype=np.int32))
+            inv_t = _inv_shifted(trace[:, t_col], gamma)
+            inv_c = _inv_shifted(trace[:, idx], gamma)  # [n, k]
+            g, h_mat, delta = _logup_gh_2d(trace[:, m_col], inv_t, inv_c)
+            parts.append((g, h_mat))
+            deltas.append(delta)
+    s_all = _logup_scan_2d(jnp.stack(deltas, axis=1))
+    cols = []
+    for i, (g, h_mat) in enumerate(parts):
+        cols.append(jnp.concatenate([g[:, None], h_mat, s_all[:, i : i + 1]], axis=1))
+    return jnp.concatenate(cols, axis=1)
 
 
 def logup_constraints(

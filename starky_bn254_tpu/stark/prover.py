@@ -53,21 +53,37 @@ def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
 import jax
 
 
+# The aux-column builders are deliberately SEVERAL small jit dispatches,
+# each a strictly 2-D graph with the challenge as a traced scalar. XLA's
+# compile time explodes superlinearly when (a) the ~90-deep Fermat
+# inversion chain and a Hillis-Steele prefix scan land in ONE graph
+# (inv 3.4s + cumprod 1.0s separately vs 60-80s combined at [1024, 1100])
+# or (b) the deep chain runs on a 3-D broadcast over a challenge axis
+# (28.4s vs 4.7s for the same element count in 2-D). Splitting at the scan
+# boundary costs nothing: the stage-1 ratios/g/h are committed columns
+# regardless, and per-challenge calls share one compiled executable.
+
+
 @jax.jit
-def _z_columns_impl(trace, a_idx, b_idx, gammas):
-    n_pairs = a_idx.shape[0]
-    cols = []
-    for ci in range(gammas.shape[0]):
-        g = gammas[ci]
-        num = gl.add(trace[:, a_idx], g)
-        den = gl.add(trace[:, b_idx], g)
-        ratio = gl.mul(num, gl.batch_inv(den))
-        prods = gl.cumprod(ratio)  # [n, nP] inclusive products
-        z = jnp.concatenate(
-            [jnp.ones((1, n_pairs), dtype=jnp.uint64), prods[:-1]], axis=0
-        )
-        cols.append(z)
-    return jnp.concatenate(cols, axis=1)
+def _gather_cols(trace, idx):
+    return trace[:, idx]
+
+
+@jax.jit
+def _z_ratio_2d(a_vals, b_vals, gamma):
+    """(a+gamma)/(b+gamma) elementwise on [n, nP] with scalar gamma."""
+    num = gl.add(a_vals, gamma)
+    den = gl.add(b_vals, gamma)
+    return gl.mul(num, gl.batch_inv(den))
+
+
+@jax.jit
+def _z_scan_2d(ratio):
+    """Prefix products of [n, nP] ratios -> row-shifted Z columns."""
+    prods = gl.cumprod(ratio)  # inclusive, along rows
+    return jnp.concatenate(
+        [jnp.ones((1, ratio.shape[1]), dtype=jnp.uint64), prods[:-1]], axis=0
+    )
 
 
 def compute_z_columns(
@@ -81,8 +97,13 @@ def compute_z_columns(
     """
     a_idx = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
     b_idx = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
-    g = jnp.asarray(np.array(gammas, dtype=np.uint64))
-    return _z_columns_impl(trace, a_idx, b_idx, g)
+    a_vals = _gather_cols(trace, a_idx)
+    b_vals = _gather_cols(trace, b_idx)
+    cols = []
+    for g in gammas:
+        ratio = _z_ratio_2d(a_vals, b_vals, jnp.uint64(g % gl.P))
+        cols.append(_z_scan_2d(ratio))
+    return jnp.concatenate(cols, axis=1)
 
 
 def permutation_constraints(
@@ -382,8 +403,12 @@ def prove(
     gzeta_mats = [trace_c.lde] + ([z_c.lde] if z_c else [])
     gzeta_ys = [trace_gzeta] + ([z_gzeta] if z_c else [])
 
+    xs_ext = gl.ext_from_base(jnp.asarray(_lde_selectors(n, cfg.fri.rate_bits)["xs"]))
+    inv_den_zeta = _ext_inv_x_minus(xs_ext, zeta_arr)
+    inv_den_gzeta = _ext_inv_x_minus(xs_ext, gzeta_arr)
     f_values = _batch_opening_poly(
-        zeta_mats, zeta_ys, zeta_arr, gzeta_mats, gzeta_ys, gzeta_arr, beta_arr, n, cfg
+        zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta,
+        beta_arr,
     )
 
     oracles = [(trace_c.tree, trace_c.lde)]
@@ -406,17 +431,23 @@ def prove(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "cfg"))
+@jax.jit
+def _ext_inv_x_minus(xs_ext, point):
+    """1/(x - point) over the LDE domain — its own dispatch so the deep
+    Fermat chain never shares a graph with the opening combine (the mix
+    compiles pathologically; see the note above _gather_cols)."""
+    den = gl.ext_sub(xs_ext, jnp.broadcast_to(point, xs_ext.shape))
+    return gl.ext_inv(den)
+
+
+@jax.jit
 def _batch_opening_poly(
-    zeta_mats, zeta_ys, zeta_arr, gzeta_mats, gzeta_ys, gzeta_arr, beta_arr, n, cfg
+    zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta, beta_arr
 ) -> jnp.ndarray:
     """F(x) = G_zeta(x) + beta^{k0} * G_gzeta(x), where each G is the
     beta-combined sum of (p_i(x) - y_i) / (x - point)."""
-    sels = _lde_selectors(n, cfg.fri.rate_bits)
-    xs = jnp.asarray(sels["xs"])  # [N] base domain points
-    x_ext = gl.ext_from_base(xs)  # [N, 2]
 
-    def group(mats, ys, point):
+    def group(mats, ys, inv_den):
         widths = [m.shape[1] for m in mats]
         total = sum(widths)
         w = gl.ext_powers_vec(beta_arr, total)  # [total, 2]
@@ -436,11 +467,10 @@ def _batch_opening_poly(
             off += k
         s = jnp.stack([s0, s1], axis=-1)  # [N, 2]
         num = gl.ext_sub(s, jnp.broadcast_to(c_acc, s.shape))
-        den = gl.ext_sub(x_ext, jnp.broadcast_to(point, x_ext.shape))
-        return gl.ext_mul(num, gl.ext_inv(den)), total
+        return gl.ext_mul(num, inv_den), total
 
-    g0, k0 = group(zeta_mats, zeta_ys, zeta_arr)
-    g1, _ = group(gzeta_mats, gzeta_ys, gzeta_arr)
+    g0, k0 = group(zeta_mats, zeta_ys, inv_den_zeta)
+    g1, _ = group(gzeta_mats, gzeta_ys, inv_den_gzeta)
     beta_k0 = gl.ext_pow_const(beta_arr, k0)
     return gl.ext_add(g0, gl.ext_mul(g1, jnp.broadcast_to(beta_k0, g1.shape)))
 
