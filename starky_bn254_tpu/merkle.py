@@ -46,6 +46,22 @@ class MerkleTree:
             return jnp.zeros((0, 4), dtype=jnp.uint64)
         return jnp.stack(sibs)
 
+    def prove_batch(self, indices) -> jnp.ndarray:
+        """Merkle paths for MANY leaf indices in one gather per level.
+
+        Returns [Q, path_len, 4]. The FRI query phase extracts 84+ paths;
+        per-query `prove` costs thousands of eager device round trips on
+        the tunneled-TPU path, batched extraction costs one per level.
+        """
+        idx = jnp.asarray(indices, dtype=jnp.int64)
+        sibs = []
+        for level in self.levels[:-1]:
+            sibs.append(level[idx ^ 1])  # [Q, 4]
+            idx = idx >> 1
+        if not sibs:
+            return jnp.zeros((idx.shape[0], 0, 4), dtype=jnp.uint64)
+        return jnp.stack(sibs, axis=1)
+
 
 import functools
 

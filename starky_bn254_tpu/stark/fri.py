@@ -96,21 +96,30 @@ def fri_prove(
 
     indices = challenger.get_indices(cfg.num_query_rounds, n)
 
-    # query rounds
+    # query rounds — batched: ONE device gather per (oracle/layer, level)
+    # and one D2H per array. The per-query version costs thousands of
+    # eager round trips over the TPU tunnel (measured: it dominated the
+    # whole prove at ~60s for 84 queries).
+    idx_arr = jnp.asarray(np.array(indices, dtype=np.int64))
+    init_leaves_all = [np.asarray(mat[idx_arr]) for _, mat in oracles]
+    init_paths_all = [np.asarray(tree.prove_batch(idx_arr)) for tree, _ in oracles]
+    layer_leaves_all, layer_paths_all = [], []
+    cur = idx_arr
+    for tree, pairs in zip(layer_trees, layer_pairs):
+        half = pairs.shape[0]
+        j = cur % half
+        layer_leaves_all.append(np.asarray(pairs[j]))
+        layer_paths_all.append(np.asarray(tree.prove_batch(j)))
+        cur = j
     query_rounds = []
-    for idx in indices:
-        init_leaves = [np.asarray(mat[idx]) for _, mat in oracles]
-        init_paths = [np.asarray(tree.prove(idx)) for tree, _ in oracles]
-        layer_leaves, layer_paths = [], []
-        cur = idx
-        for tree, pairs in zip(layer_trees, layer_pairs):
-            half = pairs.shape[0]
-            j = cur % half
-            layer_leaves.append(np.asarray(pairs[j]))
-            layer_paths.append(np.asarray(tree.prove(j)))
-            cur = j
+    for q in range(len(indices)):
         query_rounds.append(
-            FriQueryRound(init_leaves, init_paths, layer_leaves, layer_paths)
+            FriQueryRound(
+                [lv[q] for lv in init_leaves_all],
+                [pt[q] for pt in init_paths_all],
+                [lv[q] for lv in layer_leaves_all],
+                [pt[q] for pt in layer_paths_all],
+            )
         )
 
     return FriProof(
