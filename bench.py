@@ -79,7 +79,7 @@ def full_bench() -> int:
     proof = prove(air, trace_dev, pi, cfg)
     t_first = time.time() - t0
 
-    tt = TimingTree("prove")
+    tt = TimingTree("prove", sync=True)
     t0 = time.time()
     proof = prove(air, trace_dev, pi, cfg, timing=tt)
     t_prove = time.time() - t0

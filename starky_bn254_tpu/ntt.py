@@ -165,6 +165,84 @@ def eval_polys_at_ext_point(coeffs: jnp.ndarray, point_ext) -> jnp.ndarray:
     return out[0] if squeeze else out
 
 
+@_jax.jit
+def _eval_from_lde_impl(lde, w, factor_arr):
+    """sum_i lde[i, :] * w[i] (ext weights), scaled by the ext factor."""
+    r0 = gl.sum_mod(gl.mul(lde, w[:, 0:1]), axis=0)  # [cols]
+    r1 = gl.sum_mod(gl.mul(lde, w[:, 1:2]), axis=0)
+    s = jnp.stack([r0, r1], axis=-1)  # [cols, 2]
+    return gl.ext_mul(s, jnp.broadcast_to(factor_arr, s.shape))
+
+
+@_jax.jit
+def _bary_weights(inv_den, xs):
+    """x_i / (zeta - x_i) as ext weights [N, 2]."""
+    return gl.ext_scalar_mul(inv_den, xs)
+
+
+def _ext_pow_host(a: tuple[int, int], e: int) -> tuple[int, int]:
+    """(a0 + a1*X)^e in GF(p^2) = GF(p)[X]/(X^2 - W), exact host ints."""
+    r0, r1 = 1, 0
+    b0, b1 = a[0] % gl.P, a[1] % gl.P
+    while e > 0:
+        if e & 1:
+            r0, r1 = (
+                (r0 * b0 + gl.W * r1 * b1) % gl.P,
+                (r0 * b1 + r1 * b0) % gl.P,
+            )
+        e >>= 1
+        if e:
+            b0, b1 = (b0 * b0 + gl.W * b1 * b1) % gl.P, 2 * b0 * b1 % gl.P
+    return r0, r1
+
+
+def eval_from_lde(
+    lde: jnp.ndarray,
+    point: tuple[int, int],
+    inv_den: jnp.ndarray,
+    shift: int = gl.GENERATOR,
+) -> jnp.ndarray:
+    """Evaluate committed polynomials at an extension point FROM their LDE.
+
+    Barycentric form over the coset D = shift * H_N (any poly of degree < N):
+        p(zeta) = (zeta^N - s^N) / (N * s^N) * sum_i v_i * x_i / (zeta - x_i)
+    using Z_D(X) = X^N - s^N and Z_D'(x_i) = N * s^N / x_i. `inv_den` is the
+    precomputed 1/(x_i - zeta) [N, 2] — the SAME vector the batched-opening
+    combine uses (its sign convention; the global -1 folds into the host
+    factor) — so openings cost two matvecs and commitments don't have to
+    retain coefficient arrays (3.4 GB per commitment at the 2^20-row G1
+    target; dropping them is what fits the proof in one chip's HBM).
+
+    lde: [N, cols] base-field values on D. Returns [cols, 2].
+    """
+    big_n = lde.shape[0]
+    s_n = pow(shift, big_n, gl.P)
+    p_n = _ext_pow_host(point, big_n)  # zeta^N
+    z_d = ((p_n[0] - s_n) % gl.P, p_n[1])
+    denom_inv = pow(big_n % gl.P * s_n % gl.P, gl.P - 2, gl.P)
+    # inv_den is 1/(x_i - zeta): fold the barycentric sum's -1 in here
+    factor = (
+        (gl.P - z_d[0] * denom_inv % gl.P) % gl.P,
+        (gl.P - z_d[1] * denom_inv % gl.P) % gl.P,
+    )
+    factor_arr = jnp.asarray(np.array(factor, dtype=np.uint64))
+    xs = jnp.asarray(_coset_points(shift, big_n))
+    w = _bary_weights(inv_den, xs)
+    return _eval_from_lde_impl(lde, w, factor_arr)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_points(shift: int, big_n: int) -> np.ndarray:
+    """shift * omega^i over the size-big_n domain, natural order (host ints)."""
+    w_big = gl.primitive_root_of_unity(big_n.bit_length() - 1)
+    pts = np.empty(big_n, dtype=np.uint64)
+    acc = shift % gl.P
+    for i in range(big_n):
+        pts[i] = acc
+        acc = acc * w_big % gl.P
+    return pts
+
+
 def coset_lde(values: jnp.ndarray, rate_bits: int, shift: int = gl.GENERATOR):
     """Low-degree extension: interpolate columns over H_n, evaluate over
     shift * H_{n * 2^rate_bits}.

@@ -35,7 +35,6 @@ QUOTIENT_CHUNKS = 2  # constraint degree 3 => quotient degree < 2n
 
 @dataclass
 class Commitment:
-    coeffs: jnp.ndarray  # [n, C]
     lde: jnp.ndarray  # [N, C]
     tree: merkle.MerkleTree
 
@@ -46,8 +45,10 @@ def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
     n_lde = lde.shape[0]
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
     tree = merkle.build_merkle_tree(lde, cap_h)
-    # the subgroup evaluations are not retained (multi-GB at 2^20 rows)
-    return Commitment(coeffs, lde, tree)
+    # neither the subgroup evaluations nor the coefficients are retained:
+    # at the 2^20-row G1 target each would be ~3.4 GB per commitment.
+    # Openings are evaluated barycentrically from the LDE (ntt.eval_from_lde).
+    return Commitment(lde, tree)
 
 
 import jax
@@ -376,14 +377,21 @@ def prove(
     w_n = gl.primitive_root_of_unity(degree_bits)
     gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
 
+    # 1/(zeta - x) over the LDE domain, shared by the barycentric openings
+    # below and the batched-opening combine (step 5)
+    xs_ext = gl.ext_from_base(jnp.asarray(_lde_selectors(n, cfg.fri.rate_bits)["xs"]))
+    inv_den_zeta = _ext_inv_x_minus(xs_ext, zeta_arr)
+    gzeta = (zeta[0] * w_n % gl.P, zeta[1] * w_n % gl.P)
+    inv_den_gzeta = _ext_inv_x_minus(xs_ext, gzeta_arr)
+
     with tt.scope("openings"):
-        trace_zeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, zeta_arr)
-        trace_gzeta = ntt.eval_polys_at_ext_point(trace_c.coeffs, gzeta_arr)
+        trace_zeta = ntt.eval_from_lde(trace_c.lde, zeta, inv_den_zeta)
+        trace_gzeta = ntt.eval_from_lde(trace_c.lde, gzeta, inv_den_gzeta)
         z_zeta = z_gzeta = None
         if z_c is not None:
-            z_zeta = ntt.eval_polys_at_ext_point(z_c.coeffs, zeta_arr)
-            z_gzeta = ntt.eval_polys_at_ext_point(z_c.coeffs, gzeta_arr)
-        quotient_zeta = ntt.eval_polys_at_ext_point(q_chunk_coeffs, zeta_arr)
+            z_zeta = ntt.eval_from_lde(z_c.lde, zeta, inv_den_zeta)
+            z_gzeta = ntt.eval_from_lde(z_c.lde, gzeta, inv_den_gzeta)
+        quotient_zeta = ntt.eval_from_lde(q_lde, zeta, inv_den_zeta)
 
     openings = StarkOpenings(
         trace_zeta=np.asarray(trace_zeta),
@@ -403,9 +411,6 @@ def prove(
     gzeta_mats = [trace_c.lde] + ([z_c.lde] if z_c else [])
     gzeta_ys = [trace_gzeta] + ([z_gzeta] if z_c else [])
 
-    xs_ext = gl.ext_from_base(jnp.asarray(_lde_selectors(n, cfg.fri.rate_bits)["xs"]))
-    inv_den_zeta = _ext_inv_x_minus(xs_ext, zeta_arr)
-    inv_den_gzeta = _ext_inv_x_minus(xs_ext, gzeta_arr)
     f_values = _batch_opening_poly(
         zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta,
         beta_arr,

@@ -24,13 +24,28 @@ class _Node:
 
 
 class TimingTree:
-    def __init__(self, name: str = "root"):
+    def __init__(self, name: str = "root", sync: bool = False):
+        """sync=True inserts a device barrier (jax.effects_barrier) when a
+        scope closes, so phase times attribute asynchronously-dispatched
+        device work to the phase that launched it instead of to whichever
+        later phase first blocks (JAX dispatch is async; without the
+        barrier a multi-second commit can read as ~2ms)."""
         self.root = _Node(name)
         self._stack = [self.root]
         self._t0 = time.time()
+        self._sync = sync
+
+    def _barrier(self):
+        if self._sync:
+            import jax.numpy as jnp
+
+            # device streams execute in-order: a trivial op enqueued now
+            # completes only after everything dispatched before it
+            jnp.zeros((), dtype=jnp.uint32).block_until_ready()
 
     @contextmanager
     def scope(self, name: str):
+        self._barrier()
         node = _Node(name)
         self._stack[-1].children.append(node)
         self._stack.append(node)
@@ -38,6 +53,7 @@ class TimingTree:
         try:
             yield
         finally:
+            self._barrier()
             node.elapsed = time.time() - t0
             self._stack.pop()
 
