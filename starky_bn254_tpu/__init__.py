@@ -36,4 +36,16 @@ try:
 except Exception:  # pragma: no cover - older jax without the knob
     pass
 
+# When the default platform is the tunneled TPU, ALSO expose the host CPU
+# backend: verification is thousands of tiny scalar ops, and paying the
+# tunnel's per-dispatch round trip for each made verify ~50x slower than
+# proving. stark/verifier.py pins itself to the CPU device when available.
+if _platform not in ("", "cpu") and "cpu" not in _os.environ.get(
+    "JAX_PLATFORMS", ""
+):
+    try:
+        jax.config.update("jax_platforms", f"{_platform},cpu")
+    except Exception:  # pragma: no cover - backends already initialized
+        pass
+
 __version__ = "0.1.0"

@@ -6,12 +6,14 @@ and all tests). This is a from-scratch implementation with the same shape:
 width 12, rate 8, capacity 4, x^7 S-box, 8 full + 22 partial rounds.
 
 Parameter provenance: round constants are generated deterministically by
-SHA-256 counter-mode rejection sampling from a fixed seed string, and the MDS
-matrix is the Cauchy matrix M[i][j] = 1/(x_i + y_j) with x_i = i, y_j = 12+j
-(pairwise-distinct x's and y's with nonzero sums => provably MDS). The module
-is parameterized so a plonky2-compatible constant set can be swapped in for
-transcript parity once those constants are available; proofs in this framework
-are self-consistently verified with the constants below.
+SHA-256 counter-mode rejection sampling from a fixed seed string. The MDS
+matrix is the circulant with first row FAST_MDS_ROW — every entry a small
+power of two, so the layer is shift-adds instead of 144 full 64-bit modmuls
+— and it is EXHAUSTIVELY VERIFIED MDS: native/mds_check.cpp checks all
+2,704,155 square minors nonsingular over Goldilocks (run it to re-verify).
+The module is parameterized so a plonky2-compatible constant set can be
+swapped in for transcript parity once those constants are available; proofs
+in this framework are self-consistently verified with the constants below.
 
 All functions are batched: a state batch has shape [..., WIDTH] uint64.
 """
@@ -52,15 +54,24 @@ def _sample_field_elements(count: int, label: bytes) -> np.ndarray:
     return out
 
 
+# Circulant MDS first row: all entries small powers of two (exponents
+# [0,0,1,0,3,5,1,8,12,3,16,10]); exhaustively verified MDS by
+# native/mds_check.cpp (all square minors nonsingular mod p).
+FAST_MDS_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
+_FAST_MDS_EXPS = tuple(int(v).bit_length() - 1 for v in FAST_MDS_ROW)
+assert all(1 << e == v for e, v in zip(_FAST_MDS_EXPS, FAST_MDS_ROW))
+
+
 @functools.lru_cache(maxsize=None)
 def _constants():
     n_rounds = FULL_ROUNDS + PARTIAL_ROUNDS
     rc = _sample_field_elements(n_rounds * WIDTH, b"rc").reshape(n_rounds, WIDTH)
-    # Cauchy MDS matrix over GF(p): entries 1/(i + j + WIDTH)
+    # dense form of the circulant (host challenger + tests use this; the
+    # device layer uses the shift form below)
     mds = np.empty((WIDTH, WIDTH), dtype=np.uint64)
     for i in range(WIDTH):
         for j in range(WIDTH):
-            mds[i, j] = pow(i + j + WIDTH, gl.P - 2, gl.P)
+            mds[i, j] = FAST_MDS_ROW[(j - i) % WIDTH]
     return rc, mds
 
 
@@ -71,35 +82,62 @@ def _sbox(x):
     return gl.mul(x6, x)
 
 
-def _mds_layer(state, mds):
-    # state: [..., WIDTH]; mds: [WIDTH, WIDTH]. One broadcasted modmul plus
-    # an exact lane-sum — the whole layer is a handful of XLA ops.
-    prod = gl.mul(state[..., None, :], mds)  # [..., out, in]
-    return gl.sum_mod(prod, axis=-1)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+@functools.lru_cache(maxsize=None)
+def _mds_gather_idx():
+    # out[i] = sum_d row[d] * s[(i + d) % WIDTH]
+    return np.array(
+        [[(i + d) % WIDTH for d in range(WIDTH)] for i in range(WIDTH)],
+        dtype=np.int32,
+    )
+
+
+def _mds_layer(state, mds=None):
+    """Circulant power-of-two MDS as shift-adds in exact u32 halves.
+
+    out[i] = sum_d 2^{e_d} * s[(i+d)%12]. Each s splits as hi*2^32 + lo;
+    the shifted-hi and shifted-lo sums stay < 2^53 (12 terms < 2^48 each),
+    then one 128-bit reduction folds A*2^32 + B mod p. ~20 vector ops per
+    layer instead of 144 full 64-bit modmuls (the layer dominates the
+    permutation's cost: 144 of ~180 muls per round in the dense form).
+    """
+    idx = jnp.asarray(_mds_gather_idx())  # [out, d]
+    exps = jnp.asarray(np.array(_FAST_MDS_EXPS, dtype=np.uint64))
+    g = state[..., idx]  # [..., out, d]
+    lo = (g & _MASK32) << exps
+    hi = (g >> np.uint64(32)) << exps
+    b = jnp.sum(lo, axis=-1)  # < 2^53, exact in u64
+    a = jnp.sum(hi, axis=-1)
+    v_hi = a >> np.uint64(32)
+    v_lo_part = (a & _MASK32) << np.uint64(32)
+    v_lo = v_lo_part + b
+    carry = (v_lo < v_lo_part).astype(jnp.uint64)
+    return gl._reduce128(v_hi + carry, v_lo)
 
 
 def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
-    rc, mds_np = _constants()
+    rc, _ = _constants()
     rc_j = jnp.asarray(rc)
-    mds = jnp.asarray(mds_np)
 
     half = FULL_ROUNDS // 2
     r = 0
     for _ in range(half):
         state = gl.add(state, rc_j[r])
         state = _sbox(state)
-        state = _mds_layer(state, mds)
+        state = _mds_layer(state)
         r += 1
     for _ in range(PARTIAL_ROUNDS):
         state = gl.add(state, rc_j[r])
         s0 = _sbox(state[..., 0])
         state = state.at[..., 0].set(s0)
-        state = _mds_layer(state, mds)
+        state = _mds_layer(state)
         r += 1
     for _ in range(half):
         state = gl.add(state, rc_j[r])
         state = _sbox(state)
-        state = _mds_layer(state, mds)
+        state = _mds_layer(state)
         r += 1
     return state
 

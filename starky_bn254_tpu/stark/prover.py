@@ -42,6 +42,7 @@ class Commitment:
 def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
     coeffs = ntt.interpolate_coeffs(values)
     lde = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
+    del coeffs  # multi-GB at 2^20 rows; free before the tree build enqueues
     n_lde = lde.shape[0]
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
     tree = merkle.build_merkle_tree(lde, cap_h)
@@ -335,10 +336,13 @@ def prove(
             if extra_w:
                 parts.append(jnp.asarray(air.generate_aux(np.asarray(trace), gammas)))
             z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            del parts
             z_c = commit(z_cols, cfg)
+            del z_cols  # free the pre-LDE aux values (3 GB at the 2^20 target)
         challenger.observe_cap(np.asarray(z_c.tree.cap))
 
     # 3. constraint composition -> quotient chunks
+    del trace  # composition reads trace_c.lde; drop the subgroup values
     alphas = challenger.get_n_challenges(nc)
     with tt.scope("constraint composition"):
         qvals = evaluate_composition(

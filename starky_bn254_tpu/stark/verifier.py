@@ -44,6 +44,25 @@ def _ext_int(pair) -> jnp.ndarray:
 
 
 def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
+    """Verify a STARK proof. All device work here is tiny (scalars at zeta
+    plus [84, ...] query batches), so when the default backend is a remote
+    TPU the whole check runs pinned to the host CPU backend instead —
+    per-dispatch tunnel latency otherwise dwarfs the compute 50x over."""
+    import contextlib
+
+    import jax
+
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() != "cpu":
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except Exception:
+            pass
+    with ctx:
+        return _verify_impl(air, proof, cfg)
+
+
+def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
     from .logup import logup_constraints, table_aux_width
 
     n = 1 << proof.degree_bits
