@@ -63,14 +63,19 @@ def _inv_shifted(vals, gamma):
 
 
 @jax.jit
-def _logup_gh_2d(m_vals, inv_t, inv_c):
-    """g = m/(gamma+T), paired h matrix, per-row delta (shallow graph)."""
-    g = gl.mul(m_vals, inv_t)
+def _pair_sum(inv_c):
+    """1/(g+c_{2b}) + 1/(g+c_{2b+1}) for consecutive pairs: [n, k] -> [n, k/2]."""
     if inv_c.shape[1] % 2 == 1:
         inv_c = jnp.pad(inv_c, ((0, 0), (0, 1)))
-    h_mat = gl.add(inv_c[:, 0::2], inv_c[:, 1::2])  # [n, B]
+    return gl.add(inv_c[:, 0::2], inv_c[:, 1::2])
+
+
+@jax.jit
+def _logup_gdelta(m_vals, inv_t, h_mat):
+    """g = m/(gamma+T) and the per-row delta sum(h) - g (shallow graph)."""
+    g = gl.mul(m_vals, inv_t)
     delta = gl.sub(gl.sum_mod(h_mat, axis=1), g)
-    return g, h_mat, delta
+    return g, delta
 
 
 @jax.jit
@@ -85,14 +90,26 @@ def _logup_scan_2d(deltas):
 def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.ndarray:
     """[n, nc * table_aux_width] aux columns, challenge-major then
     per-table [g | h... | S]."""
+    # checked columns are inverted in even-sized chunks so the transient
+    # 1/(gamma+c) block stays ~1 GB at the 2^20-row G1 target instead of
+    # the full [n, k] (chunking at even offsets preserves the h pairing)
+    chunk = 128
     parts, deltas = [], []
     for g_int in gammas:
         gamma = jnp.uint64(g_int % gl.P)
         for (t_col, m_col, checked) in tables:
-            idx = jnp.asarray(np.array(checked, dtype=np.int32))
             inv_t = _inv_shifted(trace[:, t_col], gamma)
-            inv_c = _inv_shifted(trace[:, idx], gamma)  # [n, k]
-            g, h_mat, delta = _logup_gh_2d(trace[:, m_col], inv_t, inv_c)
+            h_chunks = []
+            for off in range(0, len(checked), chunk):
+                sub = np.array(checked[off : off + chunk], dtype=np.int32)
+                inv_c = _inv_shifted(trace[:, jnp.asarray(sub)], gamma)
+                h_chunks.append(_pair_sum(inv_c))
+                del inv_c
+            h_mat = h_chunks[0] if len(h_chunks) == 1 else jnp.concatenate(
+                h_chunks, axis=1
+            )
+            del h_chunks
+            g, delta = _logup_gdelta(trace[:, m_col], inv_t, h_mat)
             parts.append((g, h_mat))
             deltas.append(delta)
     s_all = _logup_scan_2d(jnp.stack(deltas, axis=1))
