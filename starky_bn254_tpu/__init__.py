@@ -40,11 +40,17 @@ except Exception:  # pragma: no cover - older jax without the knob
 # backend: verification is thousands of tiny scalar ops, and paying the
 # tunnel's per-dispatch round trip for each made verify ~50x slower than
 # proving. stark/verifier.py pins itself to the CPU device when available.
-if _platform not in ("", "cpu") and "cpu" not in _os.environ.get(
-    "JAX_PLATFORMS", ""
-):
+# Consult the LIVE config first: scripts/tests switch to cpu at runtime via
+# jax.config.update and that choice must win over the env var.
+try:
+    _cfg_platforms = jax.config.jax_platforms or _os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+except Exception:  # pragma: no cover
+    _cfg_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if _cfg_platforms and "cpu" not in _cfg_platforms.split(","):
     try:
-        jax.config.update("jax_platforms", f"{_platform},cpu")
+        jax.config.update("jax_platforms", f"{_cfg_platforms},cpu")
     except Exception:  # pragma: no cover - backends already initialized
         pass
 

@@ -171,6 +171,70 @@ def verify_g1_msm(proof, result, air, n_real: int, cfg=None) -> bool:
     return G1Msm().check_chain(proof.public_inputs, n_real, result)
 
 
+def prove_g2_msm(points, scalars, cfg=None, range_check="auto", io_binding="auto"):
+    """One-call G2 MSM proof (offset chaining; reference g2/circuit.rs:392-443):
+    returns (proof, result_point, air, n_real). Verify with `verify_g2_msm`."""
+    import jax.numpy as jnp
+
+    from ..airs.g2_exp import G2ExpAir
+    from ..stark import StarkConfig, prove
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    msm = G2Msm()
+    inputs, result = msm.build_inputs(points, scalars)
+    n_real = len(inputs)
+    inputs = pad_instances(inputs)
+    air = G2ExpAir(len(inputs), range_check=range_check, io_binding=io_binding)
+    trace, pi = air.generate_trace_and_pi(inputs)
+    proof = prove(air, jnp.asarray(trace), pi, cfg)
+    return proof, result, air, n_real
+
+
+def verify_g2_msm(proof, result, air, n_real: int, cfg=None) -> bool:
+    from ..stark import StarkConfig, verify
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    if not verify(air, proof, cfg):
+        return False
+    return G2Msm().check_chain(proof.public_inputs, n_real, result)
+
+
+def prove_fq12_multiexp(
+    xs, exps, u64=False, cfg=None, range_check="auto", io_binding="auto"
+):
+    """One-call Fq12 multi-exponentiation proof prod(x_i^e_i) by
+    multiplicative offset chaining (reference fq12_u64/circuit.rs:437-489):
+    returns (proof, result_fq12, air, n_real)."""
+    import jax.numpy as jnp
+
+    from ..stark import StarkConfig, prove
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    me = Fq12MultiExp(u64=u64)
+    inputs, result = me.build_inputs(xs, exps)
+    n_real = len(inputs)
+    inputs = pad_instances(inputs)
+    if u64:
+        from ..airs.fq12_exp_u64 import Fq12ExpU64Air as AirCls
+    else:
+        from ..airs.fq12_exp import Fq12ExpAir as AirCls
+    if range_check == "auto":
+        range_check = "logup"  # the Fq12 AIRs take "split" | "logup"
+    air = AirCls(len(inputs), range_check=range_check, io_binding=io_binding)
+    trace, pi = air.generate_trace_and_pi(inputs)
+    proof = prove(air, jnp.asarray(trace), pi, cfg)
+    return proof, result, air, n_real
+
+
+def verify_fq12_multiexp(proof, result, air, n_real: int, u64=False, cfg=None) -> bool:
+    from ..stark import StarkConfig, verify
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    if not verify(air, proof, cfg):
+        return False
+    return Fq12MultiExp(u64=u64).check_chain(proof.public_inputs, n_real, result)
+
+
 def g2_mul_by_cofactor_input(p) -> tuple:
     """One G2ExpAir instance computing cofactor * P (reference
     g2/circuit.rs:335-367, cofactor constant :346-349). Combined with a

@@ -78,12 +78,49 @@ def _build_levels(leaves: jnp.ndarray, cap_height: int):
     return tuple(levels)
 
 
+@jax.jit
+def _leaf_digests(leaves: jnp.ndarray) -> jnp.ndarray:
+    return poseidon.hash_or_noop(leaves)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_height",))
+def _upper_levels(digests: jnp.ndarray, cap_height: int):
+    levels = [digests]
+    while levels[-1].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        levels.append(poseidon.compress(cur[0::2], cur[1::2]))
+    return tuple(levels[1:])
+
+
+# Above this many leaf CELLS the tree is built in row blocks: leaf digests
+# are independent per row, so hashing [2^18-row] slices in separate
+# dispatches (one compiled executable reused across blocks) bounds the
+# graph's working set. The single whole-tree graph OOM'd the chip at
+# [2^20, 404] even though the arrays themselves fit.
+_BLOCK_CELLS = 1 << 26
+_BLOCK_ROWS_MIN = 1 << 15
+
+
 def build_merkle_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
     """leaves: [n, width] uint64; n must be a power of two >= 2^cap_height."""
     n = leaves.shape[0]
     assert n & (n - 1) == 0
     assert 1 << cap_height <= n
-    levels = list(_build_levels(leaves, cap_height))
+    width = leaves.shape[1] if leaves.ndim > 1 else 1
+    if n * width <= _BLOCK_CELLS or width <= 4:
+        levels = list(_build_levels(leaves, cap_height))
+        return MerkleTree(levels=levels, cap_height=cap_height)
+    row_block = max(_BLOCK_CELLS // width, _BLOCK_ROWS_MIN)
+    row_block = 1 << (row_block.bit_length() - 1)  # power of two
+    parts = []
+    for i in range(0, n, row_block):
+        d = _leaf_digests(leaves[i : i + row_block])
+        # sync per block: unbounded async enqueue reserves every block
+        # program's temp buffers at once (see stark/prover.py _SYNC_CELLS)
+        jax.block_until_ready(d)
+        parts.append(d)
+    digests = jnp.concatenate(parts)
+    levels = [digests] + list(_upper_levels(digests, cap_height))
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 

@@ -151,27 +151,56 @@ permute = jax.jit(_permute_impl)
 def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
     """Fixed-length overwrite-mode sponge: [..., n] -> [..., 4] digest.
 
-    The input is zero-padded to a multiple of RATE, then absorbed as full
-    rate-sized chunks (overwrite mode) via a lax.scan, so the compiled graph
-    holds ONE permutation regardless of leaf width (Merkle leaves can be
-    thousands of cells wide for the Fq12 AIRs).
+    Full rate-sized chunks are absorbed via a lax.scan whose body slices
+    the chunk straight out of the input (ONE permutation in the graph
+    regardless of leaf width), and the sub-rate tail is zero-padded and
+    absorbed separately. No padded copy / chunk-stack of the whole input
+    is materialized — at a [2^20, 404] Merkle leaf matrix those transients
+    were 2 x 3.3 GB and OOM'd the chip.
     """
     *batch, n = inputs.shape
-    n_chunks = max((n + RATE - 1) // RATE, 1)
-    padded = jnp.zeros((*batch, n_chunks * RATE), dtype=jnp.uint64)
-    padded = padded.at[..., :n].set(inputs)
-    # [chunks, ...batch, RATE]
-    chunks = jnp.moveaxis(padded.reshape(*batch, n_chunks, RATE), -2, 0)
+    n_full = n // RATE
     # derive the zero state from the input so device-varying axis annotations
     # propagate correctly under shard_map (scan carry must match)
     state = jnp.zeros((*batch, WIDTH), dtype=jnp.uint64) + inputs[..., :1] * np.uint64(0)
 
-    def body(st, chunk):
+    if n_full:
+
+        def body(st, i):
+            chunk = jax.lax.dynamic_slice_in_dim(inputs, i * RATE, RATE, axis=-1)
+            st = st.at[..., :RATE].set(chunk)
+            return permute(st), None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(n_full))
+
+    rem = n - n_full * RATE
+    if rem:
+        tail = jnp.zeros((*batch, RATE), dtype=jnp.uint64)
+        tail = tail.at[..., :rem].set(inputs[..., n_full * RATE :])
+        state = state.at[..., :RATE].set(tail)
+        state = permute(state)
+    return state[..., :4]
+
+
+@jax.jit
+def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
+    """Absorb a column block (width a multiple of RATE) into running sponge
+    states: state [..., WIDTH], block [..., k*RATE] -> new state.
+
+    Chaining sponge_absorb over column blocks produces bit-identical
+    digests to hash_no_pad over the concatenated row (same overwrite-mode
+    chunk sequence) — the streaming-commit path hashes multi-GB LDEs
+    block by block without ever holding the whole matrix's absorb graph."""
+    n = block.shape[-1]
+    assert n % RATE == 0 and n > 0
+
+    def body(st, i):
+        chunk = jax.lax.dynamic_slice_in_dim(block, i * RATE, RATE, axis=-1)
         st = st.at[..., :RATE].set(chunk)
         return permute(st), None
 
-    state, _ = jax.lax.scan(body, state, chunks)
-    return state[..., :4]
+    state, _ = jax.lax.scan(body, state, jnp.arange(n // RATE))
+    return state
 
 
 def hash_or_noop(inputs: jnp.ndarray) -> jnp.ndarray:

@@ -43,7 +43,11 @@ def fri_prove(
     oracles: list[tuple[merkle.MerkleTree, jnp.ndarray]],
     challenger: Challenger,
     cfg: FriConfig,
+    timing=None,
 ) -> FriProof:
+    from ..utils.timing import TimingTree
+
+    tt = timing if timing is not None else TimingTree("fri")
     n = f_values.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
@@ -55,44 +59,47 @@ def fri_prove(
     layer_pairs: list[jnp.ndarray] = []
     betas: list[tuple[int, int]] = []
 
-    while m > (1 << cfg.final_poly_bits) * cfg.blowup:
-        half = m // 2
-        pairs = jnp.concatenate([values[:half], values[half:]], axis=-1)  # [half, 4]
-        cap_h = min(cfg.cap_height, (half.bit_length() - 1))
-        tree = merkle.build_merkle_tree(pairs, cap_h)
-        layer_trees.append(tree)
-        layer_pairs.append(pairs)
-        challenger.observe_cap(np.asarray(tree.cap))
-        beta = challenger.get_ext_challenge()
-        betas.append(beta)
+    with tt.scope("commit/fold layers"):
+        while m > (1 << cfg.final_poly_bits) * cfg.blowup:
+            half = m // 2
+            pairs = jnp.concatenate([values[:half], values[half:]], axis=-1)  # [half, 4]
+            cap_h = min(cfg.cap_height, (half.bit_length() - 1))
+            tree = merkle.build_merkle_tree(pairs, cap_h)
+            layer_trees.append(tree)
+            layer_pairs.append(pairs)
+            challenger.observe_cap(np.asarray(tree.cap))
+            beta = challenger.get_ext_challenge()
+            betas.append(beta)
 
-        # fold: F'(x^2) = (F(x)+F(-x))/2 + beta * (F(x)-F(-x))/(2x)
-        w_m_inv = pow(gl.primitive_root_of_unity(m.bit_length() - 1), gl.P - 2, gl.P)
-        s_inv = pow(cur_shift, gl.P - 2, gl.P)
-        beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
-        values = _fold_step(
-            values,
-            beta_arr,
-            jnp.asarray(np.uint64(w_m_inv)),
-            jnp.asarray(np.uint64(s_inv)),
-        )
-        cur_shift = cur_shift * cur_shift % gl.P
-        m = half
+            # fold: F'(x^2) = (F(x)+F(-x))/2 + beta * (F(x)-F(-x))/(2x)
+            w_m_inv = pow(gl.primitive_root_of_unity(m.bit_length() - 1), gl.P - 2, gl.P)
+            s_inv = pow(cur_shift, gl.P - 2, gl.P)
+            beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
+            values = _fold_step(
+                values,
+                beta_arr,
+                jnp.asarray(np.uint64(w_m_inv)),
+                jnp.asarray(np.uint64(s_inv)),
+            )
+            cur_shift = cur_shift * cur_shift % gl.P
+            m = half
 
     # final polynomial: interpolate the remaining values (componentwise base
     # NTT is valid for extension values since the NTT matrix is base-field).
-    coeffs_shifted = ntt.ntt(values, inverse=True)  # [m, 2]
-    s_inv = pow(cur_shift, gl.P - 2, gl.P)
-    unscale = gl.powers_vec(jnp.asarray(np.uint64(s_inv)), m)
-    final_coeffs = gl.mul(coeffs_shifted, unscale[:, None])
-    final_len = m // cfg.blowup
-    final_coeffs = final_coeffs[:final_len]
-    challenger.observe_elements(np.asarray(final_coeffs).reshape(-1))
+    with tt.scope("final poly"):
+        coeffs_shifted = ntt.ntt(values, inverse=True)  # [m, 2]
+        s_inv = pow(cur_shift, gl.P - 2, gl.P)
+        unscale = gl.powers_vec(jnp.asarray(np.uint64(s_inv)), m)
+        final_coeffs = gl.mul(coeffs_shifted, unscale[:, None])
+        final_len = m // cfg.blowup
+        final_coeffs = final_coeffs[:final_len]
+        challenger.observe_elements(np.asarray(final_coeffs).reshape(-1))
 
     # proof-of-work grinding (device-batched search)
-    pow_seed = challenger.get_challenge()
-    nonce = grind(pow_seed, cfg.proof_of_work_bits)
-    challenger.observe_element(nonce)
+    with tt.scope("pow grind"):
+        pow_seed = challenger.get_challenge()
+        nonce = grind(pow_seed, cfg.proof_of_work_bits)
+        challenger.observe_element(nonce)
 
     indices = challenger.get_indices(cfg.num_query_rounds, n)
 
@@ -100,27 +107,28 @@ def fri_prove(
     # and one D2H per array. The per-query version costs thousands of
     # eager round trips over the TPU tunnel (measured: it dominated the
     # whole prove at ~60s for 84 queries).
-    idx_arr = jnp.asarray(np.array(indices, dtype=np.int64))
-    init_leaves_all = [np.asarray(mat[idx_arr]) for _, mat in oracles]
-    init_paths_all = [np.asarray(tree.prove_batch(idx_arr)) for tree, _ in oracles]
-    layer_leaves_all, layer_paths_all = [], []
-    cur = idx_arr
-    for tree, pairs in zip(layer_trees, layer_pairs):
-        half = pairs.shape[0]
-        j = cur % half
-        layer_leaves_all.append(np.asarray(pairs[j]))
-        layer_paths_all.append(np.asarray(tree.prove_batch(j)))
-        cur = j
-    query_rounds = []
-    for q in range(len(indices)):
-        query_rounds.append(
-            FriQueryRound(
-                [lv[q] for lv in init_leaves_all],
-                [pt[q] for pt in init_paths_all],
-                [lv[q] for lv in layer_leaves_all],
-                [pt[q] for pt in layer_paths_all],
+    with tt.scope("query extraction"):
+        idx_arr = jnp.asarray(np.array(indices, dtype=np.int64))
+        init_leaves_all = [np.asarray(mat[idx_arr]) for _, mat in oracles]
+        init_paths_all = [np.asarray(tree.prove_batch(idx_arr)) for tree, _ in oracles]
+        layer_leaves_all, layer_paths_all = [], []
+        cur = idx_arr
+        for tree, pairs in zip(layer_trees, layer_pairs):
+            half = pairs.shape[0]
+            j = cur % half
+            layer_leaves_all.append(np.asarray(pairs[j]))
+            layer_paths_all.append(np.asarray(tree.prove_batch(j)))
+            cur = j
+        query_rounds = []
+        for q in range(len(indices)):
+            query_rounds.append(
+                FriQueryRound(
+                    [lv[q] for lv in init_leaves_all],
+                    [pt[q] for pt in init_paths_all],
+                    [lv[q] for lv in layer_leaves_all],
+                    [pt[q] for pt in layer_paths_all],
+                )
             )
-        )
 
     return FriProof(
         layer_caps=[np.asarray(t.cap) for t in layer_trees],

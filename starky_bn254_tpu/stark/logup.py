@@ -100,11 +100,16 @@ def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.
         for (t_col, m_col, checked) in tables:
             inv_t = _inv_shifted(trace[:, t_col], gamma)
             h_chunks = []
+            big = trace.size > (1 << 27)
             for off in range(0, len(checked), chunk):
                 sub = np.array(checked[off : off + chunk], dtype=np.int32)
                 inv_c = _inv_shifted(trace[:, jnp.asarray(sub)], gamma)
                 h_chunks.append(_pair_sum(inv_c))
                 del inv_c
+                if big:
+                    # bound concurrent program temp reservations (the deep
+                    # Fermat-chain graphs are queued per chunk otherwise)
+                    jax.block_until_ready(h_chunks[-1])
             h_mat = h_chunks[0] if len(h_chunks) == 1 else jnp.concatenate(
                 h_chunks, axis=1
             )

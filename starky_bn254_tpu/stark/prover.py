@@ -39,10 +39,20 @@ class Commitment:
     tree: merkle.MerkleTree
 
 
+# Above this many cells the commit pipeline synchronizes between stages:
+# async dispatch otherwise enqueues the INTT, LDE and tree programs at
+# once and the allocator reserves ALL their temp buffers simultaneously
+# (measured: a 2^19-row x 404-col commit OOM'd a chip that holds 19 GiB
+# of live data just fine).
+_SYNC_CELLS = 1 << 27
+
+
 def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
+    if values.size > _SYNC_CELLS:
+        return _commit_streaming(values, cfg)
     coeffs = ntt.interpolate_coeffs(values)
     lde = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
-    del coeffs  # multi-GB at 2^20 rows; free before the tree build enqueues
+    del coeffs
     n_lde = lde.shape[0]
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
     tree = merkle.build_merkle_tree(lde, cap_h)
@@ -50,6 +60,45 @@ def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
     # at the 2^20-row G1 target each would be ~3.4 GB per commitment.
     # Openings are evaluated barycentrically from the LDE (ntt.eval_from_lde).
     return Commitment(lde, tree)
+
+
+def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
+    """Column-blocked commit for matrices whose single-graph INTT/LDE/tree
+    programs exceed HBM (the [2^19-row, 404-col] G1 commit OOM'd even though
+    its retained arrays are a fraction of the chip's memory: XLA's per-
+    program temp reservations are the footprint). Each block runs
+    INTT -> LDE -> sponge-absorb with an explicit device sync; the carried
+    sponge state makes leaf digests bit-identical to the monolithic path."""
+    from .. import poseidon
+
+    n, num_cols = values.shape
+    n_lde = n << cfg.fri.rate_bits
+    # blocks of whole RATE-chunks so absorption chains exactly
+    block_cols = max(((1 << 27) // n_lde) // poseidon.RATE * poseidon.RATE, poseidon.RATE)
+    state = jnp.zeros((n_lde, poseidon.WIDTH), dtype=jnp.uint64)
+    lde_blocks = []
+    for off in range(0, num_cols, block_cols):
+        blk = values[:, off : off + block_cols]
+        coeffs = ntt.interpolate_coeffs(blk)
+        jax.block_until_ready(coeffs)
+        lde_b = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
+        del coeffs
+        jax.block_until_ready(lde_b)
+        lde_blocks.append(lde_b)
+        absorb = lde_b
+        if absorb.shape[1] % poseidon.RATE:  # final partial block: zero-pad
+            pad = poseidon.RATE - absorb.shape[1] % poseidon.RATE
+            absorb = jnp.pad(absorb, ((0, 0), (0, pad)))
+        state = poseidon.sponge_absorb(state, absorb)
+        jax.block_until_ready(state)
+    digests = state[:, :4]
+    del state
+    lde = jnp.concatenate(lde_blocks, axis=1)
+    del lde_blocks
+    jax.block_until_ready(lde)
+    cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
+    levels = [digests] + list(merkle._upper_levels(digests, cap_h))
+    return Commitment(lde, merkle.MerkleTree(levels=levels, cap_height=cap_h))
 
 
 import jax
@@ -415,10 +464,11 @@ def prove(
     gzeta_mats = [trace_c.lde] + ([z_c.lde] if z_c else [])
     gzeta_ys = [trace_gzeta] + ([z_gzeta] if z_c else [])
 
-    f_values = _batch_opening_poly(
-        zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta,
-        beta_arr,
-    )
+    with tt.scope("opening combine"):
+        f_values = _batch_opening_poly(
+            zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta,
+            beta_arr,
+        )
 
     oracles = [(trace_c.tree, trace_c.lde)]
     if z_c is not None:
@@ -426,7 +476,9 @@ def prove(
     oracles.append((q_tree, q_lde))
 
     with tt.scope("fri"):
-        fri_proof = fri_prove(f_values, gl.GENERATOR, oracles, challenger, cfg.fri)
+        fri_proof = fri_prove(
+            f_values, gl.GENERATOR, oracles, challenger, cfg.fri, timing=tt
+        )
     tt.finish()
 
     return StarkProof(
