@@ -15,8 +15,10 @@ device computation; the host only sequences Fiat-Shamir.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,7 +49,13 @@ class Commitment:
 _SYNC_CELLS = 1 << 27
 
 
-def commit(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
+def commit(values, cfg: StarkConfig) -> Commitment:
+    # A 1-element list transfers ownership: commit pops the array so the
+    # caller's reference dies and the source can be freed before the LDE
+    # concat (matters at multi-GB commitment widths).
+    if isinstance(values, list):
+        assert len(values) == 1
+        values = values.pop()
     if values.size > _SYNC_CELLS:
         return _commit_streaming(values, cfg)
     coeffs = ntt.interpolate_coeffs(values)
@@ -76,7 +84,12 @@ def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
     # blocks of whole RATE-chunks so absorption chains exactly
     block_cols = max(((1 << 27) // n_lde) // poseidon.RATE * poseidon.RATE, poseidon.RATE)
     state = jnp.zeros((n_lde, poseidon.WIDTH), dtype=jnp.uint64)
-    lde_blocks = []
+    # preallocate the output ONCE (before block churn fragments the
+    # allocator) and write each block in place via a donated
+    # dynamic_update_slice — a final concatenate needs a second full-size
+    # contiguous buffer exactly when fragmentation makes one unavailable
+    lde = jnp.zeros((n_lde, num_cols), dtype=jnp.uint64)
+    jax.block_until_ready(lde)
     for off in range(0, num_cols, block_cols):
         blk = values[:, off : off + block_cols]
         coeffs = ntt.interpolate_coeffs(blk)
@@ -84,24 +97,29 @@ def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
         lde_b = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
         del coeffs
         jax.block_until_ready(lde_b)
-        lde_blocks.append(lde_b)
+        lde = _write_cols(lde, lde_b, jnp.int32(off))
         absorb = lde_b
         if absorb.shape[1] % poseidon.RATE:  # final partial block: zero-pad
             pad = poseidon.RATE - absorb.shape[1] % poseidon.RATE
             absorb = jnp.pad(absorb, ((0, 0), (0, pad)))
+        del lde_b
         state = poseidon.sponge_absorb(state, absorb)
+        del absorb
         jax.block_until_ready(state)
+        jax.block_until_ready(lde)
+    del values  # last reference when called via the 1-list ownership form
     digests = state[:, :4]
     del state
-    lde = jnp.concatenate(lde_blocks, axis=1)
-    del lde_blocks
-    jax.block_until_ready(lde)
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
     levels = [digests] + list(merkle._upper_levels(digests, cap_h))
     return Commitment(lde, merkle.MerkleTree(levels=levels, cap_height=cap_h))
 
 
-import jax
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_cols(buf, block, off):
+    """In-place (donated) column-block write at a dynamic offset."""
+    return jax.lax.dynamic_update_slice(buf, block, (jnp.int32(0), off))
+
 
 
 # The aux-column builders are deliberately SEVERAL small jit dispatches,
@@ -190,7 +208,6 @@ def permutation_constraints(
         cc.constraint(zns * (bvs + gamma) - zs * (avs + gamma))
 
 
-import functools
 
 
 @functools.lru_cache(maxsize=None)
@@ -386,12 +403,14 @@ def prove(
                 parts.append(jnp.asarray(air.generate_aux(np.asarray(trace), gammas)))
             z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             del parts
-            z_c = commit(z_cols, cfg)
-            del z_cols  # free the pre-LDE aux values (3 GB at the 2^20 target)
+            trace = None  # aux columns are built; composition reads trace_c.lde
+            holder = [z_cols]
+            del z_cols  # ownership moves into commit: freed before its concat
+            z_c = commit(holder, cfg)
         challenger.observe_cap(np.asarray(z_c.tree.cap))
 
     # 3. constraint composition -> quotient chunks
-    del trace  # composition reads trace_c.lde; drop the subgroup values
+    trace = None  # composition reads trace_c.lde; drop the subgroup values
     alphas = challenger.get_n_challenges(nc)
     with tt.scope("constraint composition"):
         qvals = evaluate_composition(
