@@ -4,10 +4,12 @@ Replaces the FRI prover/verifier of the reference's external fork
 (SURVEY.md 2b: "FRI prover + verifier"). TPU-first shape:
 
 * the batched opening polynomial F lives as extension values [N, 2] on the
-  shifted evaluation domain; every fold step is a vectorized butterfly
-  (no gathers — pairs are (j, j + m/2) in natural order);
+  shifted evaluation domain; every fold is ARITY-4 (x -> x^4, a 4-point
+  inverse DFT per output), halving the sequential layer count vs arity-2 —
+  the layer loop is round-trip-bound on the tunneled TPU;
 * every fold layer (including layer 0 = F itself) is Merkle-committed with
-  paired leaves [F(x_j), F(-x_j)] so one query opens both fold inputs;
+  quad leaves [F(x_j), F(i x_j), F(-x_j), F(-i x_j)] (natural-order slices
+  j + k*m/4, no gathers) so one query opens all four fold inputs;
 * proof-of-work grinding and query-side Merkle/fold checks run as batched
   device ops, not per-query host loops.
 """
@@ -25,15 +27,20 @@ from .config import FriConfig
 from .proof import FriProof, FriQueryRound
 
 INV2 = (gl.P + 1) // 2
+ARITY = 4  # fold x -> x^4 per layer: halves the sequential layer count
+INV_ARITY = pow(ARITY, gl.P - 2, gl.P)
+# primitive 4th root of unity (sqrt(-1) mod p)
+I_UNIT = pow(gl.POWER_OF_TWO_GENERATOR, 1 << (gl.TWO_ADICITY - 2), gl.P)
+assert I_UNIT * I_UNIT % gl.P == gl.P - 1
 
 
 def _fold_layer_sizes(n: int, cfg: FriConfig) -> list[int]:
-    """Domain sizes of committed layers: n, n/2, ... down to the final one."""
+    """Domain sizes of committed layers down to the final one."""
     sizes = []
     m = n
     while m > (1 << cfg.final_poly_bits) * cfg.blowup:
         sizes.append(m)
-        m //= 2
+        m //= ARITY
     return sizes
 
 
@@ -61,9 +68,12 @@ def fri_prove(
 
     with tt.scope("commit/fold layers"):
         while m > (1 << cfg.final_poly_bits) * cfg.blowup:
-            half = m // 2
-            pairs = jnp.concatenate([values[:half], values[half:]], axis=-1)  # [half, 4]
-            cap_h = min(cfg.cap_height, (half.bit_length() - 1))
+            q = m // ARITY
+            # quads: [F(x_j), F(i x_j), F(-x_j), F(-i x_j)] share one leaf
+            pairs = jnp.concatenate(
+                [values[k * q : (k + 1) * q] for k in range(ARITY)], axis=-1
+            )  # [q, 8]
+            cap_h = min(cfg.cap_height, (q.bit_length() - 1))
             tree = merkle.build_merkle_tree(pairs, cap_h)
             layer_trees.append(tree)
             layer_pairs.append(pairs)
@@ -71,18 +81,19 @@ def fri_prove(
             beta = challenger.get_ext_challenge()
             betas.append(beta)
 
-            # fold: F'(x^2) = (F(x)+F(-x))/2 + beta * (F(x)-F(-x))/(2x)
+            # arity-4 fold: F'(x^4) = sum_t beta^t F_t(x^4) with
+            # F_t(x^4) = (1/4) x^{-t} sum_k i^{-kt} F(i^k x)
             w_m_inv = pow(gl.primitive_root_of_unity(m.bit_length() - 1), gl.P - 2, gl.P)
             s_inv = pow(cur_shift, gl.P - 2, gl.P)
             beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
-            values = _fold_step(
+            values = _fold_step4(
                 values,
                 beta_arr,
                 jnp.asarray(np.uint64(w_m_inv)),
                 jnp.asarray(np.uint64(s_inv)),
             )
-            cur_shift = cur_shift * cur_shift % gl.P
-            m = half
+            cur_shift = pow(cur_shift, ARITY, gl.P)
+            m = q
 
     # final polynomial: interpolate the remaining values (componentwise base
     # NTT is valid for extension values since the NTT matrix is base-field).
@@ -138,16 +149,39 @@ def fri_prove(
     )
 
 
+def _dft4_terms(v0, v1, v2, v3):
+    """a_t = sum_k i^{-kt} v_k for the 4-point inverse DFT (i^{-1} = -i)."""
+    i_c = jnp.asarray(np.uint64(I_UNIT))
+    iv1 = gl.mul(v1, i_c)
+    iv3 = gl.mul(v3, i_c)
+    a0 = gl.add(gl.add(v0, v1), gl.add(v2, v3))
+    a1 = gl.add(gl.sub(gl.sub(v0, iv1), v2), iv3)
+    a2 = gl.sub(gl.add(v0, v2), gl.add(v1, v3))
+    a3 = gl.sub(gl.sub(gl.add(v0, iv1), v2), iv3)
+    return a0, a1, a2, a3
+
+
+def _fold4_combine(a0, a1, a2, a3, inv_x, beta_arr):
+    """(1/4) * (a0 + b x^-1 a1 + b^2 x^-2 a2 + b^3 x^-3 a3); inv_x: [q]."""
+    beta2 = gl.ext_mul(beta_arr, beta_arr)
+    beta3 = gl.ext_mul(beta2, beta_arr)
+    inv_x2 = gl.mul(inv_x, inv_x)
+    inv_x3 = gl.mul(inv_x2, inv_x)
+    r = a0
+    for a, ix, b in ((a1, inv_x, beta_arr), (a2, inv_x2, beta2), (a3, inv_x3, beta3)):
+        term = gl.ext_mul(gl.mul(a, ix[:, None]), jnp.broadcast_to(b, a.shape))
+        r = gl.ext_add(r, term)
+    return gl.mul(r, jnp.asarray(np.uint64(INV_ARITY)))
+
+
 @jax.jit
-def _fold_step(values, beta_arr, w_m_inv, s_inv):
+def _fold_step4(values, beta_arr, w_m_inv, s_inv):
     m = values.shape[0]
-    half = m // 2
-    v0, v1 = values[:half], values[half:]
-    inv_x = gl.mul(gl.powers_vec(w_m_inv, half), s_inv)  # [half]
-    inv2 = jnp.asarray(np.uint64(INV2))
-    even = gl.mul(gl.ext_add(v0, v1), inv2)
-    odd = gl.mul(gl.ext_sub(v0, v1), gl.mul(inv_x, inv2)[:, None])
-    return gl.ext_add(even, gl.ext_mul(odd, jnp.broadcast_to(beta_arr, odd.shape)))
+    q = m // ARITY
+    v0, v1, v2, v3 = (values[k * q : (k + 1) * q] for k in range(ARITY))
+    a0, a1, a2, a3 = _dft4_terms(v0, v1, v2, v3)
+    inv_x = gl.mul(gl.powers_vec(w_m_inv, q), s_inv)  # [q] = x_j^{-1}
+    return _fold4_combine(a0, a1, a2, a3, inv_x, beta_arr)
 
 
 # ----------------------------------------------------------------------------
@@ -229,29 +263,29 @@ def fri_verify_query_layers(
     for k, (leaves, paths, cap) in enumerate(
         zip(layer_leaves, layer_paths, layer_caps)
     ):
-        half = m // 2
-        j = idx % half
+        q = m // ARITY
+        j = idx % q
+        slot = idx // q  # which of the 4 coset points the query hit
         ok &= verify_merkle_batch(leaves, j, paths, jnp.asarray(cap))
-        v0 = leaves[:, 0:2]  # F(x_j)
-        v1 = leaves[:, 2:4]  # F(-x_j)
-        # the queried value must appear at its slot in the pair
-        in_hi = (idx >= half)[:, None]
-        mine = jnp.where(in_hi, v1, v0)
+        vs = [leaves[:, 2 * t : 2 * t + 2] for t in range(ARITY)]  # F(i^t x_j)
+        # the queried value must appear at its slot in the quad
+        mine = vs[0]
+        for t in range(1, ARITY):
+            mine = jnp.where((slot == t)[:, None], vs[t], mine)
         ok &= bool(np.asarray((mine == expected).all()))
-        # fold
+        # arity-4 fold (same formula as the prover's _fold_step4)
         w_m = gl.primitive_root_of_unity(m.bit_length() - 1)
         w_m_inv = pow(w_m, gl.P - 2, gl.P)
         s_inv = pow(cur_shift, gl.P - 2, gl.P)
         # x_j^{-1} = s^{-1} w^{-j} via per-query exponentiation (log m muls)
-        inv_x = _pow_per_query(w_m_inv, j, half)
+        inv_x = _pow_per_query(w_m_inv, j, q)
         inv_x = gl.mul(inv_x, jnp.asarray(np.uint64(s_inv)))
         beta = jnp.asarray(np.array(betas[k], dtype=np.uint64))
-        even = gl.mul(gl.ext_add(v0, v1), jnp.asarray(np.uint64(INV2)))
-        odd = gl.mul(gl.ext_sub(v0, v1), gl.mul(inv_x, jnp.asarray(np.uint64(INV2)))[:, None])
-        expected = gl.ext_add(even, gl.ext_mul(odd, jnp.broadcast_to(beta, odd.shape)))
+        a0, a1, a2, a3 = _dft4_terms(*vs)
+        expected = _fold4_combine(a0, a1, a2, a3, inv_x, beta)
         idx = j
-        m = half
-        cur_shift = cur_shift * cur_shift % gl.P
+        m = q
+        cur_shift = pow(cur_shift, ARITY, gl.P)
 
     # final polynomial evaluation at the query points (base-field points)
     w_m = gl.primitive_root_of_unity(m.bit_length() - 1)

@@ -17,7 +17,7 @@ import numpy as np
 class FriQueryRound:
     initial_leaves: list[np.ndarray]  # per oracle: committed row [width]
     initial_paths: list[np.ndarray]  # per oracle: [depth, 4]
-    layer_leaves: list[np.ndarray]  # per fold layer: [4] = 2 ext values
+    layer_leaves: list[np.ndarray]  # per fold layer: [8] = 4 ext values (arity 4)
     layer_paths: list[np.ndarray]  # per fold layer: [depth_k, 4]
 
 

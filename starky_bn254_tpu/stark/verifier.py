@@ -21,6 +21,7 @@ from .consumer import ConstraintConsumer
 from .field_expr import PublicInputsView, RowView, Val
 from .prover import QUOTIENT_CHUNKS, permutation_constraints
 from .fri import (
+    ARITY,
     _fold_layer_sizes,
     _pow_per_query,
     check_pow,
@@ -109,7 +110,7 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
     for cap in proof.fri.layer_caps:
         challenger.observe_cap(cap)
         fri_betas.append(challenger.get_ext_challenge())
-    final_domain = layer_sizes[-1] // 2 if layer_sizes else n_lde
+    final_domain = layer_sizes[-1] // ARITY if layer_sizes else n_lde
     _require(
         proof.fri.final_coeffs.shape == (final_domain // cfg.fri.blowup, 2),
         "final poly length",
