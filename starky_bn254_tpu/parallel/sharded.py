@@ -120,6 +120,34 @@ def _tree_levels(mesh: Mesh, leaf_digests: jnp.ndarray, cap_height: int, big_n: 
     return {"leaf_digests": leaf_digests, "subtree_roots": roots, "cap": tops[-1]}
 
 
+def sharded_fri_fold(
+    mesh: Mesh,
+    values: jnp.ndarray,  # [m, 2] ext values, row-sharded or to be sharded
+    beta: tuple[int, int],
+    w_m_inv: int,
+    s_inv: int,
+) -> jnp.ndarray:
+    """Distributed arity-4 FRI fold: rows stay sharded across the mesh and
+    GSPMD inserts the collectives for the quarter-offset quad slices
+    (v[j], v[j+q], v[j+2q], v[j+3q] live on different shards). The output
+    [m/4, 2] comes back row-sharded for the next layer. Bit-identical to
+    the single-chip fri._fold_step4 (tests pin this on the CPU mesh)."""
+    from ..stark import fri
+
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    values = jax.device_put(values, sh)
+    beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
+
+    @functools.partial(jax.jit, out_shardings=sh)
+    def fold(v):
+        return fri._fold_step4(
+            v, beta_arr, jnp.asarray(np.uint64(w_m_inv)), jnp.asarray(np.uint64(s_inv))
+        )
+
+    return fold(values)
+
+
 def sharded_composition(
     mesh: Mesh,
     eval_rows_fn,

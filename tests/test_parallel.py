@@ -43,3 +43,30 @@ def test_sharded_composition_boundary_rows():
         n, dtype=np.uint64
     )
     assert np.array_equal(out, expect)
+
+
+def test_sharded_fri_fold_matches_single_chip():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from starky_bn254_tpu import goldilocks as gl
+    from starky_bn254_tpu.parallel.sharded import make_mesh, sharded_fri_fold
+    from starky_bn254_tpu.stark import fri
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(6)
+    m = 1 << 10
+    values = jnp.asarray(rng.integers(0, 2**63, size=(m, 2)).astype(np.uint64))
+    beta = (12345, 67890)
+    w_m_inv = pow(gl.primitive_root_of_unity(10), gl.P - 2, gl.P)
+    s_inv = pow(gl.GENERATOR, gl.P - 2, gl.P)
+    want = fri._fold_step4(
+        values,
+        jnp.asarray(np.array(beta, dtype=np.uint64)),
+        jnp.asarray(np.uint64(w_m_inv)),
+        jnp.asarray(np.uint64(s_inv)),
+    )
+    got = sharded_fri_fold(mesh, values, beta, w_m_inv, s_inv)
+    assert got.shape == (m // 4, 2)
+    assert (np.asarray(got) == np.asarray(want)).all()
