@@ -19,6 +19,16 @@ import numpy as np
 from . import goldilocks as gl
 from . import poseidon
 
+# Vectors at least this long are observed as a batched tree digest instead of
+# element-by-element (see Challenger.observe_elements). At the 2^20-row
+# targets the flat openings/PI vectors reach 10^5 elements; per-element
+# duplexing costs one host Poseidon permutation per RATE elements (~14k
+# sequential pure-Python permutations), while the tree digest is O(log)
+# batched device dispatches.
+VECTOR_OBSERVE_MIN = 128
+
+_LEAF_WIDTH = 128  # elements per tree leaf (16 sponge chunks)
+
 
 def _permute_host(state: list[int]) -> list[int]:
     """Pure-Python Poseidon permutation (must match poseidon.permute)."""
@@ -56,6 +66,26 @@ def _permute_host(state: list[int]) -> list[int]:
     return s
 
 
+def _hash_vector_tree(xs: np.ndarray) -> np.ndarray:
+    """[n] u64 -> [4] digest: batched leaf sponges + binary compress tree.
+
+    All-device, O(log n) dispatches; every shape-distinct graph is tiny
+    (one scan of 16 permutations for the leaves, one permutation per
+    compress level) so cold compiles stay in the milliseconds."""
+    import jax.numpy as jnp
+
+    n = xs.size
+    m = -(-n // _LEAF_WIDTH)
+    mat = np.zeros((m, _LEAF_WIDTH), dtype=np.uint64)
+    mat.reshape(-1)[:n] = xs
+    d = poseidon.hash_no_pad(jnp.asarray(mat))  # [m, 4]
+    while d.shape[0] > 1:
+        if d.shape[0] % 2:
+            d = jnp.concatenate([d, jnp.zeros((1, 4), dtype=jnp.uint64)])
+        d = poseidon.compress(d[0::2], d[1::2])
+    return np.asarray(d[0])
+
+
 class Challenger:
     def __init__(self):
         self.state = [0] * poseidon.WIDTH
@@ -71,7 +101,17 @@ class Challenger:
             self._duplex()
 
     def observe_elements(self, xs):
-        for x in np.asarray(xs, dtype=np.uint64).reshape(-1):
+        xs = np.asarray(xs, dtype=np.uint64).reshape(-1)
+        if xs.size >= VECTOR_OBSERVE_MIN:
+            # batched tree digest: bit-identical between prover and verifier
+            # by construction (both call this same path on the same vector).
+            # The length is absorbed first so vectors of different lengths
+            # can never alias, then the 4-element digest.
+            self.observe_element(xs.size % gl.P)
+            for d in _hash_vector_tree(xs):
+                self.observe_element(int(d))
+            return
+        for x in xs:
             self.observe_element(int(x))
 
     def observe_cap(self, cap):

@@ -20,6 +20,19 @@ class Air:
     num_public_inputs: int
     constraint_degree: int = 3
 
+    def layout_key(self) -> tuple:
+        """Hashable layout identity: AIRs with equal keys produce identical
+        constraint graphs, so compiled composition executables are shared
+        between layout-equal instances (NOT keyed on object identity)."""
+        return (
+            type(self).__qualname__,
+            getattr(self, "num_io", None),
+            getattr(self, "range_check", None),
+            getattr(self, "io_binding", None),
+            self.num_columns,
+            self.num_public_inputs,
+        )
+
     def permutation_pairs(self) -> list[tuple[int, int]]:
         """Pairs (a, b) of columns whose values must be equal as multisets
         (the reference's `PermutationPair::singletons`, used by the

@@ -16,6 +16,7 @@ constraint implementation runs in both prover and verifier:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,14 +128,25 @@ class RowView:
 
     `shift` (prover only) rolls rows lazily per accessed column — the `next`
     view of a multi-GB LDE must not materialize a full rolled copy.
+
+    `start`/`length` (prover only, exclusive with shift) window the rows
+    instead: col(i) -> data[start:start+length, i]. The block-composition
+    path uses this — `lv` reads rows [0, B) and `nv` rows [blowup, B+blowup)
+    of a halo-extended block, replacing the cyclic roll.
     """
 
-    def __init__(self, data, ext: bool, shift: int = 0):
+    def __init__(self, data, ext: bool, shift: int = 0,
+                 start: int | None = None, length: int | None = None):
         self.data = data
         self.ext = ext
         self.shift = shift
+        self.start = start
+        self.length = length
+        assert not (shift and start is not None)
 
     def _rolled(self, arr):
+        if self.start is not None:
+            return jax.lax.slice_in_dim(arr, self.start, self.start + self.length, axis=0)
         if self.shift:
             return jnp.roll(arr, self.shift, axis=0)
         return arr

@@ -199,10 +199,14 @@ def _pow_value(seed: int, nonces: jnp.ndarray) -> jnp.ndarray:
 
 
 def grind(seed: int, pow_bits: int) -> int:
-    """Find nonce with H(seed, nonce)[0] < 2^(64 - pow_bits)."""
+    """Find nonce with H(seed, nonce)[0] < 2^(64 - pow_bits).
+
+    The search starts at a transcript-derived offset instead of 0 so
+    repeated proofs don't retrace the same nonce prefix (the verifier checks
+    the absolute nonce, so any starting point is valid)."""
     threshold = np.uint64(1 << (64 - pow_bits))
     batch = 1 << max(pow_bits + 2, 10)
-    start = 0
+    start = (seed >> 24) & 0xFFFFFFFF
     while True:
         nonces = jnp.arange(start, start + batch, dtype=jnp.uint64)
         vals = _pow_value(seed, nonces)

@@ -210,74 +210,6 @@ def permutation_constraints(
 
 
 
-@functools.lru_cache(maxsize=None)
-def _composition_fn(air: Air, n: int, cfg: StarkConfig, has_z: bool):
-    """Jitted composition evaluator per (air, degree, config).
-
-    The whole AIR constraint graph traces once; repeated proves reuse the
-    compiled executable (and the on-disk compilation cache across runs).
-    """
-    blowup = cfg.fri.blowup
-    sels = _lde_selectors(n, cfg.fri.rate_bits)
-    pairs = air.permutation_pairs()
-    tables = air.lookup_tables()
-
-    def fn(trace_lde, z_lde, public_inputs, alphas, gammas):
-        lv = RowView(trace_lde, ext=False)
-        nv = RowView(trace_lde, ext=False, shift=-blowup)
-        pi = PublicInputsView(public_inputs, ext=False)
-        alphas_v = [Val(alphas[i], False) for i in range(cfg.num_challenges)]
-        cc = ConstraintConsumer(
-            alphas_v,
-            z_last=Val(jnp.asarray(sels["z_last"]), False),
-            l_first=Val(jnp.asarray(sels["l_first"]), False),
-            l_last=Val(jnp.asarray(sels["l_last"]), False),
-        )
-        air.eval(lv, nv, pi, cc)
-        if has_z:
-            z_lv = RowView(z_lde, ext=False)
-            z_nv = RowView(z_lde, ext=False, shift=-blowup)
-            gammas_v = [Val(gammas[i], False) for i in range(cfg.num_challenges)]
-            if pairs:
-                permutation_constraints(
-                    pairs, gammas_v, lv, nv, z_lv, z_nv, cc, False
-                )
-            if tables:
-                from .logup import logup_constraints
-
-                logup_constraints(
-                    tables,
-                    gammas_v,
-                    lv,
-                    nv,
-                    z_lv,
-                    z_nv,
-                    cc,
-                    aux_offset=cfg.num_challenges * len(pairs),
-                )
-            if air.aux_extra_width():
-                from .logup import table_aux_width
-
-                air.eval_extra(
-                    lv,
-                    nv,
-                    z_lv,
-                    z_nv,
-                    gammas_v,
-                    pi,
-                    cc,
-                    aux_offset=cfg.num_challenges
-                    * (len(pairs) + table_aux_width(tables)),
-                )
-        zh_inv = jnp.asarray(sels["zh_inv"])
-        accs = cc.final_accs()
-        return jnp.stack([gl.mul(acc.arr, zh_inv) for acc in accs])
-
-    import jax
-
-    return jax.jit(fn)
-
-
 def evaluate_composition(
     air: Air,
     trace_lde: jnp.ndarray,
@@ -288,15 +220,13 @@ def evaluate_composition(
     n: int,
     cfg: StarkConfig,
 ) -> jnp.ndarray:
-    """Constraint composition over all LDE points: returns [nc, N] quotient
-    values (already divided by Z_H)."""
-    has_z = z_lde is not None
-    fn = _composition_fn(air, n, cfg, has_z)
-    a = jnp.asarray(np.array(alphas, dtype=np.uint64))
-    g = jnp.asarray(np.array(gammas if gammas else [0], dtype=np.uint64))
-    if z_lde is None:
-        z_lde = jnp.zeros((trace_lde.shape[0], 1), dtype=jnp.uint64)
-    return fn(trace_lde, z_lde, public_inputs, a, g)
+    """Constraint composition over all LDE points: [nc, N] quotient values
+    (divided by Z_H). Delegates to the segmented, row-blocked evaluator —
+    see stark/composition.py for why the monolithic one-jit graph was
+    replaced (Fq12-width graphs took hours of XLA compile)."""
+    from .composition import evaluate_composition as _eval
+
+    return _eval(air, trace_lde, z_lde, public_inputs, alphas, gammas, n, cfg)
 
 
 @functools.lru_cache(maxsize=None)

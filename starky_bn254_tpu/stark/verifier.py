@@ -17,9 +17,7 @@ from .. import goldilocks as gl
 from ..challenger import Challenger
 from .air import Air
 from .config import StarkConfig
-from .consumer import ConstraintConsumer
-from .field_expr import PublicInputsView, RowView, Val
-from .prover import QUOTIENT_CHUNKS, permutation_constraints
+from .prover import QUOTIENT_CHUNKS
 from .fri import (
     ARITY,
     _fold_layer_sizes,
@@ -64,7 +62,7 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
 
 
 def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
-    from .logup import logup_constraints, table_aux_width
+    from .logup import table_aux_width
 
     n = 1 << proof.degree_bits
     n_lde = n << cfg.fri.rate_bits
@@ -144,34 +142,24 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
         gl.ext_inv(z_last_v),
     )
 
-    lv = RowView(jnp.asarray(proof.openings.trace_zeta), ext=True)
-    nv = RowView(jnp.asarray(proof.openings.trace_gzeta), ext=True)
-    pi = PublicInputsView(jnp.asarray(proof.public_inputs), ext=True)
-    alphas_v = [Val(_ext_int((a, 0)), True) for a in alphas]
-    cc = ConstraintConsumer(
-        alphas_v,
-        z_last=Val(z_last_v, True),
-        l_first=Val(l_first, True),
-        l_last=Val(l_last, True),
-    )
-    air.eval(lv, nv, pi, cc)
-    if has_aux:
-        z_lv = RowView(jnp.asarray(proof.openings.z_zeta), ext=True)
-        z_nv = RowView(jnp.asarray(proof.openings.z_gzeta), ext=True)
-        gammas_v = [Val(_ext_int((g, 0)), True) for g in gammas]
-        if pairs:
-            permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv, cc, True)
-        if tables:
-            logup_constraints(
-                tables, gammas_v, lv, nv, z_lv, z_nv, cc,
-                aux_offset=nc * len(pairs),
-            )
-        if extra_w:
-            air.eval_extra(
-                lv, nv, z_lv, z_nv, gammas_v, pi, cc,
-                aux_offset=nc * (len(pairs) + table_aux_width(tables)),
-            )
-    accs = cc.final_accs()
+    # jitted segmented replay of the SAME Air.eval the prover ran (ext mode);
+    # the eager per-op dispatch of a wide AIR's graph took >70 s for G2.
+    from .composition import evaluate_composition_at_zeta
+
+    acc_mat = evaluate_composition_at_zeta(
+        air,
+        proof.openings.trace_zeta,
+        proof.openings.trace_gzeta,
+        proof.openings.z_zeta if has_aux else None,
+        proof.openings.z_gzeta if has_aux else None,
+        proof.public_inputs,
+        alphas,
+        gammas,
+        z_last_v,
+        l_first,
+        l_last,
+        cfg,
+    )  # [nc, 2]
 
     q_open = jnp.asarray(proof.openings.quotient_zeta)  # [nc*chunks, 2]
     for k in range(nc):
@@ -181,7 +169,7 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
             q_zeta = gl.ext_add(
                 q_zeta, gl.ext_mul(zeta_nj, q_open[k * QUOTIENT_CHUNKS + j])
             )
-        lhs = accs[k].arr
+        lhs = acc_mat[k]
         rhs = gl.ext_mul(zh, q_zeta)
         _require(
             bool(np.asarray((lhs == rhs).all())), f"composition mismatch (alpha {k})"

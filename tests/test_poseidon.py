@@ -93,3 +93,29 @@ def test_challenger_interleaved_observe():
     y2 = c2.get_challenge()
     assert (x1, y1) == (x2, y2)
     assert x1 != y1
+
+
+def test_challenger_vector_digest_path():
+    """Vectors >= VECTOR_OBSERVE_MIN are absorbed as a batched tree digest;
+    the path must be deterministic, value- and length-sensitive, and disjoint
+    from the element-wise path."""
+    n = ch.VECTOR_OBSERVE_MIN + 37
+    vals = np.arange(n, dtype=np.uint64)
+
+    def run(v):
+        c = ch.Challenger()
+        c.observe_elements(v)
+        return c.get_n_challenges(3)
+
+    assert run(vals) == run(vals.copy())
+    tampered = vals.copy()
+    tampered[-1] += 1
+    assert run(vals) != run(tampered)
+    # length sensitivity: zero-extension must change the transcript
+    assert run(vals) != run(np.concatenate([vals, np.zeros(1, np.uint64)]))
+    # chunked observes of a large vector are NOT equivalent to one observe
+    # (the digest binds the whole vector); both are self-consistent though
+    c = ch.Challenger()
+    c.observe_elements(vals[: n // 2])
+    c.observe_elements(vals[n // 2 :])
+    assert c.get_n_challenges(3) != run(vals)
