@@ -11,7 +11,7 @@ ops, and the same code serves prover (row-vectorized) and verifier
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .. import xnp as jnp
 import numpy as np
 
 from .. import goldilocks as gl

@@ -35,11 +35,23 @@ def _inv_table(n: int) -> np.ndarray:
 
     One bulk inversion serves every pulse/periodic witness column (their
     difference values always lie in this window), replacing the reference's
-    per-cell inversions (pulse.rs:27-36)."""
-    vals = np.concatenate(
-        [gl.P - np.arange(n - 1, 0, -1, dtype=np.uint64), np.arange(n, dtype=np.uint64)]
-    )
-    return np.asarray(gl.batch_inv(np.asarray(vals)))
+    per-cell inversions (pulse.rs:27-36). Host Montgomery batch inversion
+    (one pow + 3 mults/element in exact ints): witness generation must not
+    pay eager device dispatches for the ~90-mul Fermat chain."""
+    p = gl.P
+    vals = [p - v for v in range(n - 1, 0, -1)] + list(range(n))
+    prefix = []
+    acc = 1
+    for v in vals:
+        prefix.append(acc)
+        acc = acc * (v or 1) % p
+    inv_acc = pow(acc, p - 2, p)
+    out = np.zeros(len(vals), dtype=np.uint64)
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i]:
+            out[i] = prefix[i] * inv_acc % p
+            inv_acc = inv_acc * vals[i] % p
+    return out
 
 
 def generate_pulse(n: int, pulse_positions: list[int]) -> np.ndarray:

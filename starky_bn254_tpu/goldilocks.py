@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import functools
 
-import jax.numpy as jnp
+from . import xnp as jnp
 import numpy as np
 
 # ----------------------------------------------------------------------------
@@ -258,7 +258,7 @@ def ext_pow_const(a, e: int):
             base = ext_square(base)
     if result is None:
         one = jnp.zeros_like(a)
-        return one.at[..., 0].set(1)
+        return jnp.at_set(one, (..., 0), 1)
     return result
 
 
@@ -335,7 +335,7 @@ def ext_powers_vec(base_ext, n: int):
     """[(1,0), b, b^2, ..., b^{n-1}] for an extension scalar b: [n, 2]
     (scan-free doubling construction)."""
     base = jnp.asarray(base_ext, dtype=_U64)
-    out = jnp.zeros((1, 2), dtype=_U64).at[0, 0].set(1)
+    out = jnp.at_set(jnp.zeros((1, 2), dtype=_U64), (0, 0), 1)
     step = base
     while out.shape[0] < n:
         out = jnp.concatenate([out, ext_mul(out, step[None, :])], axis=0)

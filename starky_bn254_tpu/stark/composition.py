@@ -220,123 +220,27 @@ def _make_segment_fn(closed, t0: int, t1: int, ks: list[int], nc: int):
     return jax.jit(seg, donate_argnums=(0,))
 
 
-@jax.jit
-def _take_rows(mat, idx):
-    return mat[idx]
+def _block_rows(mat, r0: int, length: int, n: int):
+    """Rows [r0, r0+length) of mat with cyclic wraparound — contiguous
+    slices (one XLA slice, or slice+concat on the single wrapping block)
+    instead of a full gather: at the 2^20-row x 404-col target a gathered
+    block is ~1 GB of scattered reads per block."""
+    end = r0 + length
+    if end <= n:
+        return mat[r0:end]
+    return jnp.concatenate([mat[r0:n], mat[: end - n]], axis=0)
 
 
 # ---------------------------------------------------------------------------
-# Verifier-side (extension scalars at zeta): same segmentation, ext mode.
-# The round-1 verifier ran `air.eval` EAGERLY on ext scalars — tens of
-# thousands of tiny dispatches (~40k-eqn graph for G2) took >70 s of the
-# measured verify time. Compiling the identical segments in ext mode turns
-# that into ~20 small executable launches.
+# Verifier-side (extension scalars at zeta): plain numpy eager replay.
+# Round-1 history: jax eager dispatch of the ~4*10^5-primitive G2/Fq12
+# graphs took >70 s; jitting them whole took hours of XLA compile; even the
+# segmented-compile approach cost minutes of tracing + DCE + compile per
+# layout. The eval layer dispatches through xnp (see xnp.py), so feeding it
+# numpy arrays runs the IDENTICAL constraint code at ~1 µs/op on the host:
+# no tracing, no compilation, bit-identical results (same u64 wraparound
+# arithmetic, same op order).
 # ---------------------------------------------------------------------------
-
-
-def _trace_term_jaxpr_ext(air: Air, cfg: StarkConfig, has_z: bool,
-                          aux_width: int):
-    from .logup import logup_constraints, table_aux_width
-
-    nc = cfg.num_challenges
-    pairs = air.permutation_pairs()
-    tables = air.lookup_tables()
-    ks_box: list[int] = []
-
-    def f(trace_zeta, trace_gzeta, z_zeta, z_gzeta, pi_arr, alphas, gammas,
-          sel_z_last, sel_l_first, sel_l_last):
-        lv = RowView(trace_zeta, ext=True)
-        nv = RowView(trace_gzeta, ext=True)
-        pi = PublicInputsView(pi_arr, ext=True)
-        alphas_v = [Val(alphas[i], True) for i in range(nc)]
-        cc = TermConsumer(
-            alphas_v,
-            z_last=Val(sel_z_last, True),
-            l_first=Val(sel_l_first, True),
-            l_last=Val(sel_l_last, True),
-        )
-        air.eval(lv, nv, pi, cc)
-        if has_z:
-            z_lv = RowView(z_zeta, ext=True)
-            z_nv = RowView(z_gzeta, ext=True)
-            gammas_v = [Val(gammas[i], True) for i in range(nc)]
-            if pairs:
-                from .prover import permutation_constraints
-
-                permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv,
-                                        cc, True)
-            if tables:
-                logup_constraints(tables, gammas_v, lv, nv, z_lv, z_nv, cc,
-                                  aux_offset=nc * len(pairs))
-            if air.aux_extra_width():
-                air.eval_extra(
-                    lv, nv, z_lv, z_nv, gammas_v, pi, cc,
-                    aux_offset=nc * (len(pairs) + table_aux_width(tables)),
-                )
-        ks_box.extend(k for (k, _) in cc.terms)
-        return tuple(t for (_, row) in cc.terms for t in row)
-
-    u64 = jnp.uint64
-    w = max(aux_width, 1)
-    shapes = (
-        jax.ShapeDtypeStruct((air.num_columns, 2), u64),
-        jax.ShapeDtypeStruct((air.num_columns, 2), u64),
-        jax.ShapeDtypeStruct((w, 2), u64),
-        jax.ShapeDtypeStruct((w, 2), u64),
-        jax.ShapeDtypeStruct((air.num_public_inputs,), u64),
-        jax.ShapeDtypeStruct((nc, 2), u64),
-        jax.ShapeDtypeStruct((nc, 2), u64),
-        jax.ShapeDtypeStruct((2,), u64),
-        jax.ShapeDtypeStruct((2,), u64),
-        jax.ShapeDtypeStruct((2,), u64),
-    )
-    closed = jax.make_jaxpr(f)(*shapes)
-    return closed, ks_box
-
-
-def _make_segment_fn_ext(closed, t0: int, t1: int, ks: list[int], nc: int):
-    total = len(ks) * nc
-    mask = [False] * total
-    for i in range(t0, t1):
-        for c in range(nc):
-            mask[i * nc + c] = True
-    new_jaxpr, used_ins = pe.dce_jaxpr(closed.jaxpr, mask)
-    inner = jex_core.jaxpr_as_fun(jex_core.ClosedJaxpr(new_jaxpr, closed.consts))
-
-    def seg(acc, *args):
-        outs = list(inner(*[a for a, u in zip(args, used_ins) if u]))
-        alphas = args[5]
-        accs = [acc[c] for c in range(nc)]
-        pow_cache: dict[tuple[int, int], jnp.ndarray] = {}
-        j = 0
-        for i in range(t0, t1):
-            k = ks[i]
-            for c in range(nc):
-                key = (c, k)
-                if key not in pow_cache:
-                    pow_cache[key] = gl.ext_pow_const(alphas[c], k)
-                accs[c] = gl.ext_add(
-                    gl.ext_mul(accs[c], pow_cache[key]), outs[j]
-                )
-                j += 1
-        return jnp.stack(accs)
-
-    return jax.jit(seg, donate_argnums=(0,))
-
-
-class VerifierCompositionPlan:
-    def __init__(self, air: Air, cfg: StarkConfig, has_z: bool, aux_width: int):
-        self.nc = cfg.num_challenges
-        closed, ks = _trace_term_jaxpr_ext(air, cfg, has_z, aux_width)
-        costs = _eqn_cost_per_call(closed, len(ks), self.nc)
-        bounds = _plan_segments(costs, SEG_MAX_EQNS)
-        self.segments = [
-            _make_segment_fn_ext(closed, t0, t1, ks, self.nc)
-            for (t0, t1) in bounds
-        ]
-
-
-_VPLAN_CACHE: dict[tuple, VerifierCompositionPlan] = {}
 
 
 def evaluate_composition_at_zeta(
@@ -352,40 +256,49 @@ def evaluate_composition_at_zeta(
     sel_l_first,
     sel_l_last,
     cfg: StarkConfig,
-) -> jnp.ndarray:
+) -> np.ndarray:
     """[nc, 2] alpha-combined constraint values at zeta (NOT divided by Z_H),
-    bit-identical to the eager ConstraintConsumer replay."""
+    bit-identical to the prover's segmented evaluation (same Horner order)."""
+    from .logup import logup_constraints, table_aux_width
+    from .prover import permutation_constraints
+
+    nc = cfg.num_challenges
+    pairs = air.permutation_pairs()
+    tables = air.lookup_tables()
     has_z = z_zeta is not None
-    aux_width = z_zeta.shape[0] if has_z else 0
-    key = (air.layout_key(), cfg, has_z, aux_width)
-    if key not in _VPLAN_CACHE:
-        _VPLAN_CACHE[key] = VerifierCompositionPlan(air, cfg, has_z, aux_width)
-    plan = _VPLAN_CACHE[key]
-    nc = plan.nc
-    if z_zeta is None:
-        z_zeta = jnp.zeros((1, 2), dtype=jnp.uint64)
-        z_gzeta = jnp.zeros((1, 2), dtype=jnp.uint64)
-    a = jnp.asarray(np.array([[x, 0] for x in alphas], dtype=np.uint64))
-    g = jnp.asarray(
-        np.array([[x, 0] for x in (gammas if gammas else [0] * nc)],
-                 dtype=np.uint64)
+
+    def ext_pair(x) -> np.ndarray:
+        return np.asarray(np.array(x, dtype=np.uint64))
+
+    lv = RowView(np.asarray(trace_zeta, dtype=np.uint64), ext=True)
+    nv = RowView(np.asarray(trace_gzeta, dtype=np.uint64), ext=True)
+    pi = PublicInputsView(np.asarray(public_inputs, dtype=np.uint64), ext=True)
+    alphas_v = [Val(ext_pair([a, 0]), True) for a in alphas]
+    cc = ConstraintConsumer(
+        alphas_v,
+        z_last=Val(ext_pair(sel_z_last), True),
+        l_first=Val(ext_pair(sel_l_first), True),
+        l_last=Val(ext_pair(sel_l_last), True),
     )
-    args = (
-        jnp.asarray(trace_zeta),
-        jnp.asarray(trace_gzeta),
-        jnp.asarray(z_zeta),
-        jnp.asarray(z_gzeta),
-        jnp.asarray(public_inputs),
-        a,
-        g,
-        jnp.asarray(sel_z_last),
-        jnp.asarray(sel_l_first),
-        jnp.asarray(sel_l_last),
-    )
-    acc = jnp.zeros((nc, 2), dtype=jnp.uint64)
-    for seg in plan.segments:
-        acc = seg(acc, *args)
-    return acc
+    air.eval(lv, nv, pi, cc)
+    if has_z:
+        z_lv = RowView(np.asarray(z_zeta, dtype=np.uint64), ext=True)
+        z_nv = RowView(np.asarray(z_gzeta, dtype=np.uint64), ext=True)
+        gammas_v = [Val(ext_pair([g, 0]), True) for g in gammas]
+        if pairs:
+            permutation_constraints(pairs, gammas_v, lv, nv, z_lv, z_nv, cc, True)
+        if tables:
+            logup_constraints(
+                tables, gammas_v, lv, nv, z_lv, z_nv, cc,
+                aux_offset=nc * len(pairs),
+            )
+        if air.aux_extra_width():
+            air.eval_extra(
+                lv, nv, z_lv, z_nv, gammas_v, pi, cc,
+                aux_offset=nc * (len(pairs) + table_aux_width(tables)),
+            )
+    accs = cc.final_accs()
+    return np.stack([np.asarray(a.arr, dtype=np.uint64) for a in accs])
 
 
 @jax.jit
@@ -408,6 +321,14 @@ class CompositionPlan:
         ]
         self.num_eqns = len(closed.jaxpr.eqns)
         self.bounds = bounds
+        self._arg_shapes = (air.num_columns, max(aux_width, 1),
+                            air.num_public_inputs)
+        # NOTE: segments are compiled lazily (serially) at first dispatch.
+        # A ThreadPoolExecutor AOT-precompile was tried and reverted: this
+        # jaxlib's CPU compile/serialize path is not thread-safe — concurrent
+        # backend_compile + executable.serialize() segfaulted reproducibly
+        # mid-test-run (Fq12ExpU64 prove). Cold compiles land in the
+        # persistent cache either way; only first-ever-run wall clock differed.
 
 
 _PLAN_CACHE: dict[tuple, CompositionPlan] = {}
@@ -460,11 +381,8 @@ def evaluate_composition(
     sync = trace_lde.size > (1 << 27)
     out_blocks = []
     for r0 in range(0, n_lde, B):
-        idx = jnp.asarray(
-            (np.arange(r0, r0 + B + pad) % n_lde).astype(np.int32)
-        )
-        tb = _take_rows(trace_lde, idx)
-        zb = _take_rows(z_lde, idx)
+        tb = _block_rows(trace_lde, r0, B + pad, n_lde)
+        zb = _block_rows(z_lde, r0, B + pad, n_lde)
         acc = jnp.zeros((nc, B), dtype=jnp.uint64)
         args = (
             tb,

@@ -18,7 +18,7 @@ Selector semantics (matching the reference's prover):
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .. import xnp as jnp
 
 from .. import goldilocks as gl
 from .field_expr import Val, stack_vals
@@ -26,7 +26,7 @@ from .field_expr import Val, stack_vals
 
 def _one_like(alpha: Val) -> Val:
     if alpha.ext:
-        return Val(jnp.zeros_like(alpha.arr).at[..., 0].set(1), True)
+        return Val(jnp.at_set(jnp.zeros_like(alpha.arr), (..., 0), 1), True)
     return Val(jnp.ones_like(alpha.arr), False)
 
 

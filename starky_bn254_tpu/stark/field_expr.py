@@ -17,7 +17,7 @@ constraint implementation runs in both prover and verifier:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+from .. import xnp as jnp
 import numpy as np
 
 from .. import goldilocks as gl

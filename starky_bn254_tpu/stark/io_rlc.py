@@ -102,7 +102,7 @@ class RlcIoBinding:
     def eval_extra(
         self, lv, nv, aux_lv, aux_nv, gammas, pi, cc, aux_offset, is_final, num_io
     ):
-        import jax.numpy as jnp
+        from .. import xnp as jnp
 
         L = self.io_len
         for ci, gamma in enumerate(gammas):

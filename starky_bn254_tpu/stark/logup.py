@@ -28,7 +28,7 @@ the Fq12-width traces in HBM.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+from .. import xnp as jnp
 import numpy as np
 
 from .. import goldilocks as gl

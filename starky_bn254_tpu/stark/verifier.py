@@ -57,7 +57,9 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
             ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
         except Exception:
             pass
-    with ctx:
+    # the numpy-eager constraint replay wraps u64 on purpose (branchless
+    # Goldilocks reduction); silence numpy's scalar-overflow warning locally
+    with ctx, np.errstate(over="ignore"):
         return _verify_impl(air, proof, cfg)
 
 
