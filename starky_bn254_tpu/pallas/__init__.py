@@ -1,0 +1,24 @@
+"""Pallas TPU kernels for the hot compute paths.
+
+TPU has no native 64-bit integer datapath; XLA emulates u64 with u32 pairs
+and, for the very deep straight-line graphs this framework generates
+(Poseidon permutations, NTT butterfly chains), splits them into many fusions
+that round-trip HBM between rounds (measured: one [2^20]-row Poseidon
+permutation = 400 ms under XLA, ~14 GB of intermediate traffic at the
+tunnel-effective ~42 GB/s). These kernels keep a row tile resident in VMEM
+through the whole round chain and do the u32-pair field arithmetic
+explicitly (u64ops), eliminating that traffic.
+
+Everything here is optional: callers gate on `available()` and fall back to
+the XLA path (bit-identical results either way — both produce canonical
+Goldilocks residues).
+"""
+
+import sys as _sys
+
+# Mosaic lowers long straight-line kernel bodies recursively; a 30-round
+# permutation chain exceeds CPython's default 1000-frame limit.
+if _sys.getrecursionlimit() < 20_000:
+    _sys.setrecursionlimit(20_000)
+
+from . import u64ops  # noqa: F401

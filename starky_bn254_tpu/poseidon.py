@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ PARTIAL_ROUNDS = 22
 ALPHA = 7  # S-box exponent
 
 _SEED = b"starky_bn254_tpu/poseidon/goldilocks-w12/v1"
+_DEFAULT_SEED = _SEED
 
 
 def _sample_field_elements(count: int, label: bytes) -> np.ndarray:
@@ -60,6 +62,42 @@ def _sample_field_elements(count: int, label: bytes) -> np.ndarray:
 FAST_MDS_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
 _FAST_MDS_EXPS = tuple(int(v).bit_length() - 1 for v in FAST_MDS_ROW)
 assert all(1 << e == v for e, v in zip(_FAST_MDS_EXPS, FAST_MDS_ROW))
+
+
+def set_params(seed: bytes | None = None, mds_row: tuple | None = None):
+    """Swap in a different Poseidon parameter set (round-constant seed and/or
+    power-of-two circulant MDS first row) for the WHOLE framework.
+
+    This is the hook a plonky2-transcript-parity deployment uses once the
+    fork's constants are extractable (SURVEY.md §7 hard part (b)); today it
+    de-risks that swap: tests prove under one set and assert proofs are
+    rejected under another (tests/test_poseidon.py). Clears every dependent
+    cache — the dense/shift MDS tables, the jitted permutation closures that
+    baked the old constants in as literals, and jax's global jit caches
+    (merkle/challenger graphs traced against the old tables)."""
+    global _SEED, FAST_MDS_ROW, _FAST_MDS_EXPS
+    import jax as _jax
+
+    if seed is not None:
+        _SEED = bytes(seed)
+    if mds_row is not None:
+        mds_row = tuple(int(v) for v in mds_row)
+        assert len(mds_row) == WIDTH
+        exps = tuple(int(v).bit_length() - 1 for v in mds_row)
+        assert all(1 << e == v for e, v in zip(exps, mds_row)), (
+            "the device MDS layer is shift-adds: entries must be powers of two"
+        )
+        FAST_MDS_ROW = mds_row
+        _FAST_MDS_EXPS = exps
+    _constants.cache_clear()
+    try:  # the Pallas kernel caches the constants in its own u32 form
+        from .pallas import poseidon_kernel as _pk
+
+        _pk._rc_u32.cache_clear()
+        _pk._mds_exps.cache_clear()
+    except Exception:  # pragma: no cover
+        pass
+    _jax.clear_caches()
 
 
 @functools.lru_cache(maxsize=None)
@@ -183,16 +221,8 @@ def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
-    """Absorb a column block (width a multiple of RATE) into running sponge
-    states: state [..., WIDTH], block [..., k*RATE] -> new state.
-
-    Chaining sponge_absorb over column blocks produces bit-identical
-    digests to hash_no_pad over the concatenated row (same overwrite-mode
-    chunk sequence) — the streaming-commit path hashes multi-GB LDEs
-    block by block without ever holding the whole matrix's absorb graph."""
+def _sponge_absorb_xla(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
     n = block.shape[-1]
-    assert n % RATE == 0 and n > 0
 
     def body(st, i):
         chunk = jax.lax.dynamic_slice_in_dim(block, i * RATE, RATE, axis=-1)
@@ -201,6 +231,37 @@ def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
 
     state, _ = jax.lax.scan(body, state, jnp.arange(n // RATE))
     return state
+
+
+_PALLAS_TILE = 512  # measured optimum at [2^20, 120] (987 ms vs 1085 @1024)
+
+
+def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
+    """Absorb a column block (width a multiple of RATE) into running sponge
+    states: state [..., WIDTH], block [..., k*RATE] -> new state.
+
+    Chaining sponge_absorb over column blocks produces bit-identical
+    digests to hash_no_pad over the concatenated row (same overwrite-mode
+    chunk sequence) — the streaming-commit path hashes multi-GB LDEs
+    block by block without ever holding the whole matrix's absorb graph.
+
+    On TPU the work runs in the VMEM-resident Pallas kernel
+    (pallas/poseidon_kernel.py, 5.6x the XLA scan at the commit shapes);
+    results are bit-identical (tests/test_pallas_kernels.py)."""
+    n = block.shape[-1]
+    assert n % RATE == 0 and n > 0
+
+    if (
+        state.ndim == 2
+        and block.ndim == 2
+        and state.shape[0] % _PALLAS_TILE == 0
+        and not os.environ.get("STARKY_NO_PALLAS")
+    ):
+        from .pallas import poseidon_kernel as _pk
+
+        if _pk.available():
+            return _pk.sponge_absorb(state, block, tile=_PALLAS_TILE)
+    return _sponge_absorb_xla(state, block)
 
 
 def hash_or_noop(inputs: jnp.ndarray) -> jnp.ndarray:

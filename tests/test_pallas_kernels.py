@@ -1,0 +1,88 @@
+"""Bit-identity of the Pallas TPU kernels against the XLA reference paths.
+
+The kernels run on CPU here via the Pallas interpreter (interpret=True),
+which executes the exact kernel jaxpr; on real TPU hardware the same code
+is pinned by scripts/ benches (the results are canonical residues either
+way, so agreement on CPU + the field-op unit tests imply agreement on TPU).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from starky_bn254_tpu import goldilocks as gl
+from starky_bn254_tpu import poseidon
+from starky_bn254_tpu.pallas import u64ops as u
+from starky_bn254_tpu.pallas import poseidon_kernel as pk
+
+RNG = np.random.default_rng(7)
+_SPECIAL = np.array(
+    [0, 1, 2, gl.P - 1, gl.P - 2, (1 << 32) - 1, 1 << 32, (1 << 32) + 1,
+     gl.P - (1 << 32), gl.EPSILON, 0xFFFF, 0x10000],
+    dtype=np.uint64,
+)
+
+
+def _operands(n=1 << 14):
+    a = np.concatenate([RNG.integers(0, gl.P, n, dtype=np.uint64),
+                        _SPECIAL, _SPECIAL[::-1]])
+    b = np.concatenate([RNG.integers(0, gl.P, n, dtype=np.uint64),
+                        _SPECIAL[::-1], _SPECIAL])
+    return jnp.asarray(a), jnp.asarray(b)
+
+
+class TestU64Ops:
+    @pytest.mark.parametrize(
+        "glf,uf",
+        [(gl.add, u.addmod), (gl.sub, u.submod), (gl.mul, u.mulmod)],
+        ids=["add", "sub", "mul"],
+    )
+    def test_binary_op_matches_goldilocks(self, glf, uf):
+        a, b = _operands()
+        want = np.asarray(glf(a, b))
+        got = np.asarray(u.join_u64(*uf(*u.split_u64(a), *u.split_u64(b))))
+        assert (want == got).all()
+
+    def test_sbox(self):
+        a, _ = _operands()
+        want = np.asarray(poseidon._sbox(a))
+        got = np.asarray(u.join_u64(*u.sbox7(*u.split_u64(a))))
+        assert (want == got).all()
+
+    def test_mul32_exact(self):
+        a = RNG.integers(0, 1 << 32, 1 << 12, dtype=np.uint32)
+        b = RNG.integers(0, 1 << 32, 1 << 12, dtype=np.uint32)
+        lo, hi = u.mul32(jnp.asarray(a), jnp.asarray(b))
+        full = a.astype(np.uint64) * b.astype(np.uint64)
+        assert (np.asarray(lo) == (full & 0xFFFFFFFF).astype(np.uint32)).all()
+        assert (np.asarray(hi) == (full >> 32).astype(np.uint32)).all()
+
+
+class TestSpongeKernel:
+    @pytest.mark.parametrize("cols", [8, 24, 40], ids=lambda c: f"cols{c}")
+    def test_bit_identical_to_xla_sponge(self, cols):
+        n = 1024
+        state = RNG.integers(0, gl.P, size=(n, 12), dtype=np.uint64)
+        block = RNG.integers(0, gl.P, size=(n, cols), dtype=np.uint64)
+        want = np.asarray(
+            poseidon._sponge_absorb_xla(jnp.asarray(state), jnp.asarray(block))
+        )
+        got = np.asarray(
+            pk.sponge_absorb(jnp.asarray(state), jnp.asarray(block),
+                             tile=512, interpret=True)
+        )
+        assert (want == got).all()
+
+    def test_chained_blocks_match_hash_no_pad(self):
+        """Absorbing column blocks through the kernel must reproduce the
+        row digests of hash_no_pad (the Merkle leaf convention)."""
+        n, cols = 512, 32
+        leaf = RNG.integers(0, gl.P, size=(n, cols), dtype=np.uint64)
+        want = np.asarray(poseidon.hash_no_pad(jnp.asarray(leaf)))
+        state = jnp.zeros((n, 12), dtype=jnp.uint64)
+        state = pk.sponge_absorb(state, jnp.asarray(leaf[:, :16]),
+                                 tile=512, interpret=True)
+        state = pk.sponge_absorb(state, jnp.asarray(leaf[:, 16:]),
+                                 tile=512, interpret=True)
+        got = np.asarray(state)[:, :4]
+        assert (want == got).all()

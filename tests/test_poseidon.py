@@ -119,3 +119,37 @@ def test_challenger_vector_digest_path():
     c.observe_elements(vals[: n // 2])
     c.observe_elements(vals[n // 2 :])
     assert c.get_n_challenges(3) != run(vals)
+
+
+def test_poseidon_constants_swap_roundtrip():
+    """The parameter set is swappable end-to-end (the future plonky2
+    transcript-parity hook): proofs made under set A verify under A, are
+    REJECTED under set B, and the whole pipeline round-trips under B."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from starky_bn254_tpu import bn254, poseidon
+    from starky_bn254_tpu.airs.fq_mul import FqMulAir
+    from starky_bn254_tpu.stark import StarkConfig, VerificationError, prove, verify
+
+    rng = np.random.default_rng(29)
+    fq = lambda: int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
+    air = FqMulAir(256)
+    trace = air.generate_trace([(fq(), fq()) for _ in range(100)])
+    pi = np.zeros(0, dtype=np.uint64)
+    cfg = StarkConfig.test_config()
+
+    proof_a = prove(air, jnp.asarray(trace), pi, cfg)
+    assert verify(air, proof_a, cfg)
+    try:
+        poseidon.set_params(seed=b"starky_bn254_tpu/poseidon/ALT-SET/v2")
+        # set-A proof must not verify under set B
+        with _pytest.raises(VerificationError):
+            verify(air, proof_a, cfg)
+        # and the full pipeline is self-consistent under set B
+        proof_b = prove(air, jnp.asarray(trace), pi, cfg)
+        assert verify(air, proof_b, cfg)
+        assert not np.array_equal(proof_a.trace_cap, proof_b.trace_cap)
+    finally:
+        poseidon.set_params(seed=poseidon._DEFAULT_SEED)
+    assert verify(air, proof_a, cfg)  # defaults restored
