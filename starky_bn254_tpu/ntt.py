@@ -228,7 +228,21 @@ def eval_from_lde(
     factor_arr = jnp.asarray(np.array(factor, dtype=np.uint64))
     xs = jnp.asarray(_coset_points(shift, big_n))
     w = _bary_weights(inv_den, xs)
-    return _eval_from_lde_impl(lde, w, factor_arr)
+    # column-chunked: one [N, C]-temp program at the 2^20 x 404 target
+    # reserves multi-GB scratch; per-chunk results are per-column, so
+    # chunking is trivially bit-identical.
+    import os
+
+    chunk = max(int(os.environ.get("STARKY_OPEN_CHUNK_CELLS", 1 << 27)) // big_n, 8)
+    cols = lde.shape[1]
+    if cols <= chunk:
+        return _eval_from_lde_impl(lde, w, factor_arr)
+    parts = []
+    for c0 in range(0, cols, chunk):
+        part = _eval_from_lde_impl(lde[:, c0 : c0 + chunk], w, factor_arr)
+        _jax.block_until_ready(part)
+        parts.append(part)
+    return jnp.concatenate(parts, axis=0)
 
 
 @functools.lru_cache(maxsize=None)

@@ -120,6 +120,60 @@ def _tree_levels(mesh: Mesh, leaf_digests: jnp.ndarray, cap_height: int, big_n: 
     return {"leaf_digests": leaf_digests, "subtree_roots": roots, "cap": tops[-1]}
 
 
+def sharded_commit_tree(mesh: Mesh, values, cfg):
+    """Distributed drop-in for `stark.prover.commit`: returns a `Commitment`
+    whose LDE is a row-sharded global array and whose Merkle levels are
+    global arrays (leaf level row-sharded, upper levels GSPMD-placed), so
+    every downstream consumer (composition blocks, openings, FRI oracles,
+    batched path extraction) runs unchanged on the global view while the
+    heavy INTT/LDE/hash work executes shard-locally.
+
+    Bit-identity with the single-chip commit: columns are zero-padded to a
+    multiple of the mesh size for the local NTT only and sliced back off
+    after the all_to_all transpose, so the hashed rows — and therefore every
+    digest, cap and transcript downstream — are exactly the single-chip ones
+    (pinned by tests/test_parallel.py)."""
+    from .. import merkle
+    from ..stark.prover import Commitment
+
+    if isinstance(values, list):
+        values = values.pop()
+    d = mesh.devices.size
+    axis = mesh.axis_names[0]
+    rate_bits = cfg.fri.rate_bits
+    n, c = values.shape
+    values = pad_cols(jnp.asarray(values), d)
+    c_pad = values.shape[1]
+    big_n = n << rate_bits
+    assert big_n % d == 0
+
+    col_sharding = NamedSharding(mesh, P(None, axis))
+    values = jax.device_put(values, col_sharding)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    def commit_local(vals):
+        coeffs = ntt.interpolate_coeffs(vals)
+        lde = ntt.lde_from_coeffs(coeffs, rate_bits)  # [N, c_pad/d]
+        blocks = lde.reshape(d, big_n // d, c_pad // d)
+        swapped = jax.lax.all_to_all(blocks, axis, 0, 0, tiled=False)
+        rows = jnp.concatenate([swapped[k] for k in range(d)], axis=1)
+        rows = rows[:, :c]  # drop NTT-only zero padding before hashing
+        digests = poseidon.hash_or_noop(rows)
+        return rows, digests
+
+    lde_rows, digests = commit_local(values)
+    cap_h = min(cfg.fri.cap_height, big_n.bit_length() - 1)
+    levels = [digests] + list(merkle._upper_levels(digests, cap_h))
+    return Commitment(
+        lde=lde_rows, tree=merkle.MerkleTree(levels=levels, cap_height=cap_h)
+    )
+
+
 def sharded_fri_fold(
     mesh: Mesh,
     values: jnp.ndarray,  # [m, 2] ext values, row-sharded or to be sharded

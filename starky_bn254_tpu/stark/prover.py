@@ -79,10 +79,13 @@ def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
     sponge state makes leaf digests bit-identical to the monolithic path."""
     from .. import poseidon
 
+    import os
+
     n, num_cols = values.shape
     n_lde = n << cfg.fri.rate_bits
     # blocks of whole RATE-chunks so absorption chains exactly
-    block_cols = max(((1 << 27) // n_lde) // poseidon.RATE * poseidon.RATE, poseidon.RATE)
+    cells = int(os.environ.get("STARKY_COMMIT_BLOCK_CELLS", 1 << 27))
+    block_cols = max((cells // n_lde) // poseidon.RATE * poseidon.RATE, poseidon.RATE)
     state = jnp.zeros((n_lde, poseidon.WIDTH), dtype=jnp.uint64)
     # preallocate the output ONCE (before block churn fragments the
     # allocator) and write each block in place via a donated
@@ -293,10 +296,26 @@ def prove(
     public_inputs: np.ndarray,  # [P] u64
     cfg: StarkConfig,
     timing=None,
+    mesh=None,
 ) -> StarkProof:
+    """mesh: optional jax.sharding.Mesh — commitments run shard-locally
+    (column-sharded INTT/LDE -> all_to_all -> row-sharded leaf hashing) and
+    every later stage operates on the row-sharded global arrays, GSPMD
+    inserting collectives. The proof is byte-identical to the single-chip
+    one (tests/test_parallel.py pins it); the reference's only parallelism
+    is shared-memory rayon inside its prover crate (SURVEY.md §5)."""
     from ..utils.timing import TimingTree
 
     tt = timing if timing is not None else TimingTree("prove")
+
+    if mesh is not None:
+        from ..parallel.sharded import sharded_commit_tree
+
+        def _commit(values):
+            return sharded_commit_tree(mesh, values, cfg)
+    else:
+        def _commit(values):
+            return commit(values, cfg)
 
     n, num_cols = trace.shape
     assert num_cols == air.num_columns, (num_cols, air.num_columns)
@@ -310,7 +329,7 @@ def prove(
 
     # 1. trace commitment
     with tt.scope("trace commit"):
-        trace_c = commit(trace, cfg)
+        trace_c = _commit(trace)
     challenger.observe_cap(np.asarray(trace_c.tree.cap))
 
     # 2. auxiliary columns: permutation Z + logUp (committed together)
@@ -336,7 +355,7 @@ def prove(
             trace = None  # aux columns are built; composition reads trace_c.lde
             holder = [z_cols]
             del z_cols  # ownership moves into commit: freed before its concat
-            z_c = commit(holder, cfg)
+            z_c = _commit(holder)
         challenger.observe_cap(np.asarray(z_c.tree.cap))
 
     # 3. constraint composition -> quotient chunks
@@ -451,38 +470,66 @@ def _ext_inv_x_minus(xs_ext, point):
 
 
 @jax.jit
+def _matvec_acc(s0, s1, m, w0, w1):
+    """Accumulate the two base matvecs of one column chunk into (s0, s1)."""
+    p0 = gl.sum_mod(gl.mul(m, w0[None, :]), axis=1)  # [N]
+    p1 = gl.sum_mod(gl.mul(m, w1[None, :]), axis=1)
+    return gl.add(s0, p0), gl.add(s1, p1)
+
+
+@jax.jit
+def _group_finish(s0, s1, c_acc, inv_den):
+    s = jnp.stack([s0, s1], axis=-1)  # [N, 2]
+    num = gl.ext_sub(s, jnp.broadcast_to(c_acc, s.shape))
+    return gl.ext_mul(num, inv_den)
+
+
+@jax.jit
+def _f_combine(g0, g1, beta_k0):
+    return gl.ext_add(g0, gl.ext_mul(g1, jnp.broadcast_to(beta_k0, g1.shape)))
+
+
 def _batch_opening_poly(
     zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta, beta_arr
 ) -> jnp.ndarray:
     """F(x) = G_zeta(x) + beta^{k0} * G_gzeta(x), where each G is the
-    beta-combined sum of (p_i(x) - y_i) / (x - point)."""
+    beta-combined sum of (p_i(x) - y_i) / (x - point).
+
+    Column-chunked: the round-1 single-jit version put the whole
+    [N, total_width] modular matvec in ONE program — at the 2^20-row G1
+    shape its multi-GB temp reservations crashed the remote TPU compiler.
+    Chunking changes only the summation grouping; sums are exact mod p, so
+    the values are bit-identical (canonical representation is unique)."""
+    import os
+
+    n_rows = zeta_mats[0].shape[0]
+    chunk = max(int(os.environ.get("STARKY_OPEN_CHUNK_CELLS", 1 << 27)) // n_rows, 8)
+    sync = n_rows * sum(m.shape[1] for m in zeta_mats) > (1 << 27)
 
     def group(mats, ys, inv_den):
-        widths = [m.shape[1] for m in mats]
-        total = sum(widths)
+        total = sum(m.shape[1] for m in mats)
         w = gl.ext_powers_vec(beta_arr, total)  # [total, 2]
-        # S(x) = sum_t beta^t p_t(x): two base matvecs per component
-        s0 = None
-        s1 = None
+        s0 = jnp.zeros((n_rows,), dtype=jnp.uint64)
+        s1 = jnp.zeros((n_rows,), dtype=jnp.uint64)
         c_acc = jnp.zeros((2,), dtype=jnp.uint64)
         off = 0
         for m, y in zip(mats, ys):
             k = m.shape[1]
-            wk = w[off : off + k]  # [k, 2]
-            p0 = gl.sum_mod(gl.mul(m, wk[None, :, 0]), axis=1)  # [N]
-            p1 = gl.sum_mod(gl.mul(m, wk[None, :, 1]), axis=1)
-            s0 = p0 if s0 is None else gl.add(s0, p0)
-            s1 = p1 if s1 is None else gl.add(s1, p1)
-            c_acc = gl.ext_add(c_acc, _ext_dot(wk, y))
+            for c0 in range(0, k, chunk):
+                wk = w[off + c0 : off + min(c0 + chunk, k)]
+                s0, s1 = _matvec_acc(
+                    s0, s1, m[:, c0 : min(c0 + chunk, k)], wk[:, 0], wk[:, 1]
+                )
+                if sync:
+                    jax.block_until_ready(s0)
+            c_acc = gl.ext_add(c_acc, _ext_dot(w[off : off + k], jnp.asarray(y)))
             off += k
-        s = jnp.stack([s0, s1], axis=-1)  # [N, 2]
-        num = gl.ext_sub(s, jnp.broadcast_to(c_acc, s.shape))
-        return gl.ext_mul(num, inv_den), total
+        return _group_finish(s0, s1, c_acc, inv_den), total
 
     g0, k0 = group(zeta_mats, zeta_ys, inv_den_zeta)
     g1, _ = group(gzeta_mats, gzeta_ys, inv_den_gzeta)
     beta_k0 = gl.ext_pow_const(beta_arr, k0)
-    return gl.ext_add(g0, gl.ext_mul(g1, jnp.broadcast_to(beta_k0, g1.shape)))
+    return _f_combine(g0, g1, beta_k0)
 
 
 def _ext_dot(w: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

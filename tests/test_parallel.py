@@ -70,3 +70,58 @@ def test_sharded_fri_fold_matches_single_chip():
     got = sharded_fri_fold(mesh, values, beta, w_m_inv, s_inv)
     assert got.shape == (m // 4, 2)
     assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_sharded_prove_byte_identical():
+    """Full end-to-end prove over the 8-device mesh must produce the SAME
+    StarkProof as the single-chip path, byte for byte: caps, openings, FRI
+    layer caps, final poly, PoW nonce, and every query leaf/path. (The
+    transcript is deterministic, so identical commitments force identical
+    challenges; any divergence in the sharded arithmetic would cascade into
+    a mismatch here.)"""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from starky_bn254_tpu import bn254
+    from starky_bn254_tpu.airs.fq_mul import FqMulAir
+    from starky_bn254_tpu.stark import StarkConfig, prove, verify
+
+    rng = np.random.default_rng(23)
+    fq = lambda: int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
+    air = FqMulAir(256)
+    trace = air.generate_trace([(fq(), fq()) for _ in range(200)])
+    pi = np.zeros(0, dtype=np.uint64)
+    cfg = StarkConfig.test_config()
+
+    p_single = prove(air, jnp.asarray(trace), pi, cfg)
+    mesh = sharded.make_mesh(8)
+    p_mesh = prove(air, jnp.asarray(trace), pi, cfg, mesh=mesh)
+
+    def eq(a, b):
+        return np.array_equal(np.asarray(a), np.asarray(b))
+
+    assert p_single.degree_bits == p_mesh.degree_bits
+    assert eq(p_single.trace_cap, p_mesh.trace_cap)
+    assert eq(p_single.z_cap, p_mesh.z_cap)
+    assert eq(p_single.quotient_cap, p_mesh.quotient_cap)
+    o1, o2 = p_single.openings, p_mesh.openings
+    assert eq(o1.trace_zeta, o2.trace_zeta) and eq(o1.trace_gzeta, o2.trace_gzeta)
+    assert eq(o1.z_zeta, o2.z_zeta) and eq(o1.z_gzeta, o2.z_gzeta)
+    assert eq(o1.quotient_zeta, o2.quotient_zeta)
+    f1, f2 = p_single.fri, p_mesh.fri
+    assert f1.pow_nonce == f2.pow_nonce
+    assert eq(f1.final_coeffs, f2.final_coeffs)
+    assert len(f1.layer_caps) == len(f2.layer_caps)
+    for c1, c2 in zip(f1.layer_caps, f2.layer_caps):
+        assert eq(c1, c2)
+    for q1, q2 in zip(f1.query_rounds, f2.query_rounds):
+        for a, b in zip(q1.initial_leaves, q2.initial_leaves):
+            assert eq(a, b)
+        for a, b in zip(q1.initial_paths, q2.initial_paths):
+            assert eq(a, b)
+        for a, b in zip(q1.layer_leaves, q2.layer_leaves):
+            assert eq(a, b)
+        for a, b in zip(q1.layer_paths, q2.layer_paths):
+            assert eq(a, b)
+    # and it still verifies
+    assert verify(air, p_mesh, cfg)
