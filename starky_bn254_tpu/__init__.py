@@ -21,13 +21,44 @@ jax.config.update("jax_enable_x64", True)
 # makes repeated runs (tests, benches) start fast.
 import os as _os
 
-# Keyed by platform: mixing entries compiled for different targets (the
-# tunneled TPU helper also emits CPU AOT code for a different host CPU) can
-# SIGILL the process on load.
-_platform = _os.environ.get("JAX_PLATFORMS", "cpu").split(",")[0] or "cpu"
+# Keyed by platform AND a local-machine fingerprint: CPU entries are AOT
+# code compiled for a specific microarchitecture, and mixing machines in one
+# cache dir makes loads SIGILL/SIGSEGV sporadically (observed: cpu_aot_loader
+# "machine features don't match" warnings followed by segfaults mid-test-run
+# when a foreign `+prefer-no-scatter` executable was deserialized). Anything
+# that shares this repo dir from another host now gets its own namespace.
+# Consult the LIVE config first (tests/scripts switch platforms via
+# jax.config.update before importing this package); fall back to the env.
+# Keying off the env alone mislabeled axon-session CPU-AOT entries (remote
+# helper output, `+prefer-no-scatter` machine prefs) into the cpu cache.
+try:
+    _platform_cfg = jax.config.jax_platforms or ""
+except Exception:  # pragma: no cover
+    _platform_cfg = ""
+_platform = (
+    _platform_cfg or _os.environ.get("JAX_PLATFORMS", "cpu")
+).split(",")[0] or "cpu"
+
+
+def _machine_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform as _pl
+
+    return hashlib.sha1(_pl.processor().encode()).hexdigest()[:8]
+
+
 _repo_cache = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    f".jax_cache-{_platform}",
+    f".jax_cache-{_platform}-{_machine_fingerprint()}",
 )
 _cache_dir = _os.environ.get("STARKY_JAX_CACHE", _repo_cache)
 try:
