@@ -67,6 +67,34 @@ try:
 except Exception:  # pragma: no cover - older jax without the knob
     pass
 
+# Cache WRITES go through zlib, not zstandard: zstandard.backend_c has
+# segfaulted this jaxlib's put_executable_and_time twice (faulthandler dumps
+# end inside the C compressor, single-threaded, plenty of free RAM) and a
+# crashed prove loses minutes of remote AOT work. Reads still auto-detect:
+# the 3+ GB of existing zstd-compressed entries (zstd magic 0x28B52FFD)
+# decompress through zstandard (its read path has never faulted), zlib
+# entries through zlib.
+try:
+    import zlib as _zlib
+
+    from jax._src import compilation_cache as _jcc
+
+    def _compress_zlib(executable: bytes) -> bytes:
+        return _zlib.compress(executable)
+
+    _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+    _zstd_decompress = _jcc.decompress_executable
+
+    def _decompress_auto(executable: bytes) -> bytes:
+        if executable[:4] == _ZSTD_MAGIC:
+            return _zstd_decompress(executable)
+        return _zlib.decompress(executable)
+
+    _jcc.compress_executable = _compress_zlib
+    _jcc.decompress_executable = _decompress_auto
+except Exception:  # pragma: no cover - cache internals moved; lose nothing
+    pass
+
 # When the default platform is the tunneled TPU, ALSO expose the host CPU
 # backend: verification is thousands of tiny scalar ops, and paying the
 # tunnel's per-dispatch round trip for each made verify ~50x slower than
