@@ -74,17 +74,45 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     twiddles = _stage_twiddles(log_n, inverse)
 
     x = values[jnp.asarray(_bit_reversal(log_n))]
-    for s in range(log_n):
-        m = 1 << s  # butterfly half-size at this stage
-        k = n // (2 * m)
-        xv = x.reshape(k, 2, m, cols)
-        a = xv[:, 0]  # [k, m, cols]
-        b = xv[:, 1]
-        tw = jnp.asarray(twiddles[s], dtype=jnp.uint64)[None, :, None]
-        bt = gl.mul(b, tw)
+    s = 0
+    if log_n % 2:  # odd stage count: one radix-2 stage, then radix-4 pairs
+        xv = x.reshape(n // 2, 2, 1, cols)
+        a, b = xv[:, 0], xv[:, 1]
         x = jnp.concatenate(
-            [gl.add(a, bt)[:, None], gl.sub(a, bt)[:, None]], axis=1
+            [gl.add(a, b)[:, None], gl.sub(a, b)[:, None]], axis=1
         ).reshape(n, cols)
+        s = 1
+    # Radix-2^2: two DIT stages per materialization. Each XLA stage is an
+    # HBM round-trip of the whole array (the inter-stage reshape/concat
+    # breaks elementwise fusion), so fusing stage pairs halves NTT memory
+    # traffic — the transform is bandwidth-bound. The arithmetic is the
+    # exact same butterfly sequence (mod-p ops are exact), so outputs are
+    # bit-identical to the radix-2 ladder.
+    while s < log_n:
+        m = 1 << s  # half-size of the FIRST of the two fused stages
+        k = n // (4 * m)
+        xv = x.reshape(k, 4, m, cols)
+        a, b, c, d = xv[:, 0], xv[:, 1], xv[:, 2], xv[:, 3]
+        w1 = jnp.asarray(twiddles[s], dtype=jnp.uint64)[None, :, None]  # [m]
+        bw = gl.mul(b, w1)
+        dw = gl.mul(d, w1)
+        t0, t1 = gl.add(a, bw), gl.sub(a, bw)
+        t2, t3 = gl.add(c, dw), gl.sub(c, dw)
+        w2 = twiddles[s + 1]  # [2m]: second-stage twiddles
+        w2a = jnp.asarray(w2[:m], dtype=jnp.uint64)[None, :, None]
+        w2b = jnp.asarray(w2[m:], dtype=jnp.uint64)[None, :, None]
+        t2w = gl.mul(t2, w2a)
+        t3w = gl.mul(t3, w2b)
+        x = jnp.concatenate(
+            [
+                gl.add(t0, t2w)[:, None],
+                gl.add(t1, t3w)[:, None],
+                gl.sub(t0, t2w)[:, None],
+                gl.sub(t1, t3w)[:, None],
+            ],
+            axis=1,
+        ).reshape(n, cols)
+        s += 2
     if inverse:
         n_inv = jnp.asarray(np.uint64(pow(n, gl.P - 2, gl.P)))
         x = gl.mul(x, n_inv)
