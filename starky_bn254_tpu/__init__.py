@@ -56,9 +56,16 @@ def _machine_fingerprint() -> str:
     return hashlib.sha1(_pl.processor().encode()).hexdigest()[:8]
 
 
+# The axon PJRT plugin changes XLA:CPU's machine preferences
+# (+prefer-no-scatter/+prefer-no-gather): CPU executables compiled with the
+# plugin env present don't load cleanly in processes without it (observed:
+# cpu_aot_loader feature-mismatch warnings, then a SIGSEGV inside
+# deserialize_executable mid-test-run). Namespace the cache by that flag so
+# the two flavors never mix.
+_axon_env = "-ax" if _os.environ.get("PALLAS_AXON_POOL_IPS") else ""
 _repo_cache = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    f".jax_cache-{_platform}-{_machine_fingerprint()}",
+    f".jax_cache-{_platform}-{_machine_fingerprint()}{_axon_env}",
 )
 _cache_dir = _os.environ.get("STARKY_JAX_CACHE", _repo_cache)
 try:
