@@ -58,12 +58,37 @@ import functools as _functools
 import jax as _jax
 
 
-@_functools.partial(_jax.jit, static_argnames=("inverse",))
 def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """Forward/inverse NTT along axis 0 of `values` ([n] or [n, cols] u64).
 
     Natural order in, natural order out. The inverse includes the 1/n scaling.
-    """
+    On TPU, large transforms run as the two-kernel Pallas four-step
+    (pallas/ntt_kernel.py, 3 HBM passes instead of ~log(n)/2); results are
+    bit-identical (an NTT's outputs are algorithm-independent; pinned by
+    tests/test_pallas_kernels.py)."""
+    import os
+
+    if (
+        values.ndim == 2
+        and values.shape[0] >= (1 << 14)
+        and values.shape[0].bit_length() - 1 <= 22
+        and values.shape[1] >= 64
+        and not os.environ.get("STARKY_NO_PALLAS")
+    ):
+        from .pallas import ntt_kernel as _nk
+
+        if _nk.available():
+            n, cols = values.shape
+            pad = (-cols) % 128
+            if pad:
+                values = jnp.pad(values, ((0, 0), (0, pad)))
+            out = _nk.ntt2d(values, inverse=inverse)
+            return out[:, :cols] if pad else out
+    return _ntt_xla(values, inverse)
+
+
+@_functools.partial(_jax.jit, static_argnames=("inverse",))
+def _ntt_xla(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     squeeze = values.ndim == 1
     if squeeze:
         values = values[:, None]

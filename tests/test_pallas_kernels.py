@@ -86,3 +86,34 @@ class TestSpongeKernel:
                                  tile=512, interpret=True)
         got = np.asarray(state)[:, :4]
         assert (want == got).all()
+
+class TestNttKernel:
+    @pytest.mark.parametrize(
+        "log_n,cols", [(6, 128), (9, 256), (12, 128)],
+        ids=lambda v: str(v),
+    )
+    @pytest.mark.parametrize("inverse", [False, True], ids=["fwd", "inv"])
+    def test_bit_identical_to_xla_ntt(self, log_n, cols, inverse):
+        from starky_bn254_tpu import ntt
+        from starky_bn254_tpu.pallas import ntt_kernel as nk
+
+        n = 1 << log_n
+        x = RNG.integers(0, gl.P, size=(n, cols), dtype=np.uint64)
+        want = np.asarray(ntt._ntt_xla(jnp.asarray(x), inverse=inverse))
+        got = np.asarray(nk.ntt2d(jnp.asarray(x), inverse=inverse,
+                                  interpret=True))
+        assert (want == got).all()
+
+    def test_odd_log_and_special_values(self):
+        """Odd log2 (unequal factors) + boundary residues exercise the
+        outer-twiddle table and both kernels' carry paths."""
+        from starky_bn254_tpu import ntt
+        from starky_bn254_tpu.pallas import ntt_kernel as nk
+
+        n, cols = 1 << 7, 128
+        x = np.zeros((n, cols), dtype=np.uint64)
+        x[: len(_SPECIAL), 0] = _SPECIAL
+        x[:, 1:] = RNG.integers(0, gl.P, size=(n, cols - 1), dtype=np.uint64)
+        want = np.asarray(ntt._ntt_xla(jnp.asarray(x), inverse=False))
+        got = np.asarray(nk.ntt2d(jnp.asarray(x), interpret=True))
+        assert (want == got).all()
