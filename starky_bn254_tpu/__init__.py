@@ -99,6 +99,42 @@ try:
 
     _jcc.compress_executable = _compress_zlib
     _jcc.decompress_executable = _decompress_auto
+
+    # Cache writes run in a FORKED child: jaxlib's executable.serialize()
+    # (XLA:CPU AOT export) segfaults deterministically on some of the
+    # largest composition-segment executables (Fq12ExpU64 family; observed
+    # across 4 runs, always at compilation_cache.put_executable_and_time).
+    # A crash in the child just skips that entry — the prover keeps its
+    # in-memory executable and the run continues; everything else still
+    # lands in the persistent cache. The child takes a pre-fork alarm so a
+    # fork-inherited lock can't hang it (COW makes the fork itself cheap).
+    import signal as _signal
+    import threading as _threading
+
+    _orig_put = _jcc.put_executable_and_time
+
+    def _forked_put(cache_key, module_name, executable, backend, compile_time):
+        try:
+            pid = _os.fork()
+        except OSError:  # pragma: no cover
+            return _orig_put(cache_key, module_name, executable, backend,
+                             compile_time)
+        if pid == 0:
+            code = 1
+            try:
+                if _threading.current_thread() is _threading.main_thread():
+                    _signal.alarm(180)
+                _orig_put(cache_key, module_name, executable, backend,
+                          compile_time)
+                code = 0
+            except BaseException:
+                pass
+            finally:
+                _os._exit(code)
+        else:
+            _os.waitpid(pid, 0)
+
+    _jcc.put_executable_and_time = _forked_put
 except Exception:  # pragma: no cover - cache internals moved; lose nothing
     pass
 
