@@ -14,6 +14,24 @@ persistent compile cache makes re-runs much faster than first runs.
 """
 
 import copy
+import os
+import subprocess
+import sys
+
+# ---------------------------------------------------------------------------
+# Process isolation: each family proves in its OWN python process.
+#
+# jaxlib 0.9.0's XLA:CPU backend segfaults when the Fq12ExpU64 compile runs
+# after the G2 + Fq12 families in the same process (reproduced 4/4 full-suite
+# runs; the same segments compile cleanly standalone — see
+# starky_bn254_tpu/__init__.py's fork-isolated cache writes for the sibling
+# serialize() crash). A fresh process per family sidesteps the accumulation
+# bug, keeps one family's crash from eating the suite, and pins the heavy
+# children to ONE compile-cache namespace (plugin env stripped) so warm runs
+# stay warm no matter how the outer suite was invoked.
+# ---------------------------------------------------------------------------
+
+_INNER = os.environ.get("STARKY_HEAVY_INNER")
 
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +64,7 @@ def _tampered_pi(proof, idx=0):
     return bad
 
 
+@pytest.mark.skipif(not _INNER, reason="runs via the isolated launcher below")
 class TestG2Exp:
     @pytest.fixture(scope="class")
     def air_proof(self):
@@ -66,6 +85,7 @@ class TestG2Exp:
             verify(air, _tampered_pi(proof), CFG)
 
 
+@pytest.mark.skipif(not _INNER, reason="runs via the isolated launcher below")
 class TestFq12Exp:
     @pytest.fixture(scope="class")
     def air_proof(self):
@@ -86,6 +106,7 @@ class TestFq12Exp:
             verify(air, _tampered_pi(proof), CFG)
 
 
+@pytest.mark.skipif(not _INNER, reason="runs via the isolated launcher below")
 class TestFq12ExpU64:
     @pytest.fixture(scope="class")
     def air_proof(self):
@@ -106,3 +127,22 @@ class TestFq12ExpU64:
         air, proof = air_proof
         with pytest.raises(VerificationError):
             verify(air, _tampered_pi(proof), CFG)
+
+
+@pytest.mark.skipif(bool(_INNER), reason="launcher disabled inside children")
+@pytest.mark.parametrize(
+    "family", ["TestG2Exp", "TestFq12Exp", "TestFq12ExpU64"]
+)
+def test_family_roundtrip_isolated(family):
+    env = os.environ.copy()
+    env["STARKY_HEAVY_INNER"] = "1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", f"{__file__}::{family}",
+         "-q", "-p", "no:cacheprovider"],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    assert r.returncode == 0, (
+        f"{family} child failed rc={r.returncode}\n"
+        + r.stdout[-3000:] + "\n" + r.stderr[-1500:]
+    )
