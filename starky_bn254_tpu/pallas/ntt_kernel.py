@@ -211,9 +211,14 @@ def _dit_kernel(log_l: int, wlo_ref, whi_ref, tlo_ref, thi_ref,
     ohi_ref[:] = hi.reshape(L, 1, s_dim, lanes)
 
 
-def _sublanes(L: int, budget: int = 4096) -> int:
+def _sublanes(L: int) -> int:
     """Tail sublane count: L * S * 128 u32-pair elements must fit the VMEM
-    working set (~3 live [L, S, 128] pair-buffers), so L*S <= budget."""
+    working set (~3 live [L, S, 128] pair-buffers), so L*S <= budget.
+    STARKY_NTT_SUBLANE_BUDGET tunes it (and lets tests force the multi-
+    block-per-column K2 path at toy sizes)."""
+    import os
+
+    budget = int(os.environ.get("STARKY_NTT_SUBLANE_BUDGET", 4096))
     s = 8
     while s > 1 and L * s > budget:
         s //= 2

@@ -117,3 +117,15 @@ class TestNttKernel:
         want = np.asarray(ntt._ntt_xla(jnp.asarray(x), inverse=False))
         got = np.asarray(nk.ntt2d(jnp.asarray(x), interpret=True))
         assert (want == got).all()
+
+    def test_multi_block_per_column_twiddle_path(self, monkeypatch):
+        """Force S2 below c/128 so K2 sees several tail blocks per k1 row —
+        the outer-twiddle index map must still pick the right column."""
+        from starky_bn254_tpu import ntt
+        from starky_bn254_tpu.pallas import ntt_kernel as nk
+
+        monkeypatch.setenv("STARKY_NTT_SUBLANE_BUDGET", "256")
+        x = RNG.integers(0, gl.P, size=(1 << 10, 512), dtype=np.uint64)
+        want = np.asarray(ntt._ntt_xla(jnp.asarray(x), inverse=False))
+        got = np.asarray(nk.ntt2d(jnp.asarray(x), interpret=True))
+        assert (want == got).all()
