@@ -307,14 +307,18 @@ def fri_verify_query_layers(
     return ok
 
 
-def _pow_per_query(base: int, exps: jnp.ndarray, m: int) -> jnp.ndarray:
-    """base^exps (mod p) for exps < m, via binary exponentiation on device."""
+def _pow_per_query(base: int, exps, m: int):
+    """base^exps (mod p) for exps < m, via binary exponentiation. Engine
+    follows the index array: device under jit/jax inputs, host numpy for the
+    verifier's eager query math (see xnp.py)."""
+    from .. import xnp
+
     bits = max(m.bit_length() - 1, 1)
-    result = jnp.ones_like(exps, dtype=jnp.uint64)
+    result = xnp.ones_like(exps).astype(np.uint64)
     sq = base % gl.P
     for b in range(bits):
-        bit_set = ((exps >> b) & 1).astype(bool)
-        mult = gl.mul(result, jnp.asarray(np.uint64(sq)))
-        result = jnp.where(bit_set, mult, result)
+        bit_set = ((exps >> b) & 1) != 0
+        mult = gl.mul(result, np.uint64(sq))
+        result = xnp.where(bit_set, mult, result)
         sq = sq * sq % gl.P
     return result

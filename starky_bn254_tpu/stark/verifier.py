@@ -38,8 +38,10 @@ def _require(cond: bool, msg: str):
         raise VerificationError(msg)
 
 
-def _ext_int(pair) -> jnp.ndarray:
-    return jnp.asarray(np.array(pair, dtype=np.uint64))
+def _ext_int(pair) -> np.ndarray:
+    # HOST numpy: every downstream consumer dispatches through xnp, so the
+    # scalar transcript algebra runs eagerly with zero device round-trips
+    return np.array(pair, dtype=np.uint64)
 
 
 def verify(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
@@ -163,7 +165,7 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
         cfg,
     )  # [nc, 2]
 
-    q_open = jnp.asarray(proof.openings.quotient_zeta)  # [nc*chunks, 2]
+    q_open = np.asarray(proof.openings.quotient_zeta)  # [nc*chunks, 2]
     for k in range(nc):
         q_zeta = q_open[k * QUOTIENT_CHUNKS]
         for j in range(1, QUOTIENT_CHUNKS):
@@ -195,9 +197,9 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
         )
 
     # recompute F at the query points from the (verified) initial leaves
-    f_at_idx = _recompute_f(
-        proof, has_aux, idx_j, zeta_arr, beta, n_lde, cfg
-    )
+    f_at_idx = jnp.asarray(_recompute_f(
+        proof, has_aux, idx_np, zeta_arr, beta, n_lde, cfg
+    ))
 
     layer_leaves = []
     layer_paths = []
@@ -235,38 +237,43 @@ def _recompute_f(
     n_lde: int,
     cfg: StarkConfig,
 ) -> jnp.ndarray:
-    """F(x_i) per query from initial leaf rows (mirrors _batch_opening_poly)."""
+    """F(x_i) per query from initial leaf rows (mirrors _batch_opening_poly).
+
+    Pure HOST numpy (idx_j is a numpy index vector): the arrays are
+    [Q, width] smalls whose eager jax dispatch dominated warm verify
+    (measured ~3 s of a 5.7 s profile); numpy runs the same xnp-dispatched
+    field ops in ~10 ms."""
     beta_arr = _ext_int(beta)
     w_big = gl.primitive_root_of_unity(n_lde.bit_length() - 1)
-    xs = gl.mul(_pow_per_query(w_big, idx_j, n_lde), jnp.asarray(np.uint64(gl.GENERATOR)))
+    xs = gl.mul(_pow_per_query(w_big, idx_j, n_lde), np.uint64(gl.GENERATOR))
     x_ext = gl.ext_from_base(xs)  # [Q, 2]
 
     has_z = bool(has_aux)
     o_trace, o_z, o_q = 0, (1 if has_z else None), (2 if has_z else 1)
 
     def leaves(o):
-        return jnp.asarray(
-            np.stack([qr.initial_leaves[o] for qr in proof.fri.query_rounds])
+        return np.stack(
+            [qr.initial_leaves[o] for qr in proof.fri.query_rounds]
         )  # [Q, width]
 
     zeta_rows = [leaves(o_trace)] + ([leaves(o_z)] if has_z else []) + [leaves(o_q)]
     zeta_ys = (
-        [jnp.asarray(proof.openings.trace_zeta)]
-        + ([jnp.asarray(proof.openings.z_zeta)] if has_z else [])
-        + [jnp.asarray(proof.openings.quotient_zeta)]
+        [np.asarray(proof.openings.trace_zeta)]
+        + ([np.asarray(proof.openings.z_zeta)] if has_z else [])
+        + [np.asarray(proof.openings.quotient_zeta)]
     )
     gzeta_rows = [leaves(o_trace)] + ([leaves(o_z)] if has_z else [])
-    gzeta_ys = [jnp.asarray(proof.openings.trace_gzeta)] + (
-        [jnp.asarray(proof.openings.z_gzeta)] if has_z else []
+    gzeta_ys = [np.asarray(proof.openings.trace_gzeta)] + (
+        [np.asarray(proof.openings.z_gzeta)] if has_z else []
     )
     w_n = gl.primitive_root_of_unity(proof.degree_bits)
-    gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
+    gzeta_arr = gl.mul(zeta_arr, np.uint64(w_n))
 
     def group(rows, ys, point):
         total = sum(r.shape[1] for r in rows)
         w = gl.ext_powers_vec(beta_arr, total)
         s0 = s1 = None
-        c_acc = jnp.zeros((2,), dtype=jnp.uint64)
+        c_acc = np.zeros((2,), dtype=np.uint64)
         off = 0
         for r, y in zip(rows, ys):
             k = r.shape[1]
@@ -278,12 +285,12 @@ def _recompute_f(
             prod = gl.ext_mul(wk, y)
             c_acc = gl.ext_add(c_acc, gl.sum_mod(prod, axis=0))
             off += k
-        s = jnp.stack([s0, s1], axis=-1)  # [Q, 2]
-        num = gl.ext_sub(s, jnp.broadcast_to(c_acc, s.shape))
-        den = gl.ext_sub(x_ext, jnp.broadcast_to(point, x_ext.shape))
+        s = np.stack([s0, s1], axis=-1)  # [Q, 2]
+        num = gl.ext_sub(s, np.broadcast_to(c_acc, s.shape))
+        den = gl.ext_sub(x_ext, np.broadcast_to(point, x_ext.shape))
         return gl.ext_mul(num, gl.ext_inv(den)), total
 
     g0, k0 = group(zeta_rows, zeta_ys, zeta_arr)
     g1, _ = group(gzeta_rows, gzeta_ys, gzeta_arr)
     beta_k0 = gl.ext_pow_const(beta_arr, k0)
-    return gl.ext_add(g0, gl.ext_mul(g1, jnp.broadcast_to(beta_k0, g1.shape)))
+    return gl.ext_add(g0, gl.ext_mul(g1, np.broadcast_to(beta_k0, g1.shape)))
