@@ -193,12 +193,15 @@ def _vs_baseline(key: str, value: float) -> float:
         return 1.0
 
 
-def _run_child(mode_env: str, budget: int) -> bool:
+def _run_child(mode_env: str, budget: int, force_cpu: bool = False) -> bool:
     """Run a bench flavor in a subprocess; forward its JSON line. Returns
     success. Subprocess isolation means a wedged TPU tunnel (hung claims
     after an OOM-killed session) can never hang the bench entry point."""
     env = dict(os.environ)
     env["_STARKY_BENCH_CHILD"] = mode_env
+    if force_cpu:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -231,7 +234,15 @@ def main():
     sys.stderr.write("falling back to commit-throughput bench\n")
     if _run_child("commit", int(os.environ.get("STARKY_BENCH_COMMIT_TIMEOUT", "1500"))):
         return
-    # device unreachable: still emit a well-formed record
+    # TPU tunnel unreachable (observed multi-hour UNAVAILABLE outages):
+    # a CPU full-pipeline number beats a zero record; detail.device marks it
+    sys.stderr.write("TPU unreachable: running the full bench on host CPU\n")
+    if _run_child(
+        "full", int(os.environ.get("STARKY_BENCH_CPU_TIMEOUT", "3300")),
+        force_cpu=True,
+    ):
+        return
+    # nothing runnable: still emit a well-formed record
     print(
         json.dumps(
             {
@@ -239,7 +250,7 @@ def main():
                 "value": 0.0,
                 "unit": "exp_instances/s",
                 "vs_baseline": 0.0,
-                "detail": {"note": "device unavailable: both bench children hung/failed"},
+                "detail": {"note": "device unavailable: all bench children hung/failed"},
             }
         )
     )
