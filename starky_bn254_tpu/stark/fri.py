@@ -150,8 +150,10 @@ def fri_prove(
 
 
 def _dft4_terms(v0, v1, v2, v3):
-    """a_t = sum_k i^{-kt} v_k for the 4-point inverse DFT (i^{-1} = -i)."""
-    i_c = jnp.asarray(np.uint64(I_UNIT))
+    """a_t = sum_k i^{-kt} v_k for the 4-point inverse DFT (i^{-1} = -i).
+    Engine-following: numpy scalars fold into jit traces and keep the
+    verifier's eager numpy path on the host (xnp.py)."""
+    i_c = np.uint64(I_UNIT)
     iv1 = gl.mul(v1, i_c)
     iv3 = gl.mul(v3, i_c)
     a0 = gl.add(gl.add(v0, v1), gl.add(v2, v3))
@@ -167,11 +169,13 @@ def _fold4_combine(a0, a1, a2, a3, inv_x, beta_arr):
     beta3 = gl.ext_mul(beta2, beta_arr)
     inv_x2 = gl.mul(inv_x, inv_x)
     inv_x3 = gl.mul(inv_x2, inv_x)
+    from .. import xnp
+
     r = a0
     for a, ix, b in ((a1, inv_x, beta_arr), (a2, inv_x2, beta2), (a3, inv_x3, beta3)):
-        term = gl.ext_mul(gl.mul(a, ix[:, None]), jnp.broadcast_to(b, a.shape))
+        term = gl.ext_mul(gl.mul(a, ix[:, None]), xnp.broadcast_to(b, a.shape))
         r = gl.ext_add(r, term)
-    return gl.mul(r, jnp.asarray(np.uint64(INV_ARITY)))
+    return gl.mul(r, np.uint64(INV_ARITY))
 
 
 @jax.jit
@@ -232,8 +236,11 @@ def verify_merkle_batch(
     paths: jnp.ndarray,  # [Q, depth, 4]
     cap: jnp.ndarray,  # [2^cap, 4]
 ) -> bool:
+    leaves = jnp.asarray(leaves)
+    paths = jnp.asarray(paths)
+    cap = jnp.asarray(cap)
     digests = poseidon.hash_or_noop(leaves)  # [Q, 4]
-    idx = indices
+    idx = jnp.asarray(indices)
     depth = paths.shape[1]
     for lvl in range(depth):
         sib = paths[:, lvl]
@@ -258,33 +265,38 @@ def fri_verify_query_layers(
     shift: int,
     cfg: FriConfig,
 ) -> bool:
-    """Batched fold-consistency check across all queries."""
+    """Batched fold-consistency check across all queries.
+
+    All fold/final-poly arithmetic runs on HOST numpy (tiny [Q, 2] arrays;
+    eager jax dispatch dominated warm verify); only the batched Merkle
+    hashing dispatches to the device inside verify_merkle_batch."""
     ok = True
-    idx = jnp.asarray(indices.astype(np.int64))
-    expected = f_at_idx  # [Q, 2]
+    idx = indices.astype(np.int64)
+    expected = np.asarray(f_at_idx)  # [Q, 2]
     m = n
     cur_shift = shift
     for k, (leaves, paths, cap) in enumerate(
         zip(layer_leaves, layer_paths, layer_caps)
     ):
+        leaves = np.asarray(leaves)
         q = m // ARITY
         j = idx % q
         slot = idx // q  # which of the 4 coset points the query hit
-        ok &= verify_merkle_batch(leaves, j, paths, jnp.asarray(cap))
+        ok &= verify_merkle_batch(leaves, j, paths, cap)
         vs = [leaves[:, 2 * t : 2 * t + 2] for t in range(ARITY)]  # F(i^t x_j)
         # the queried value must appear at its slot in the quad
         mine = vs[0]
         for t in range(1, ARITY):
-            mine = jnp.where((slot == t)[:, None], vs[t], mine)
-        ok &= bool(np.asarray((mine == expected).all()))
+            mine = np.where((slot == t)[:, None], vs[t], mine)
+        ok &= bool((mine == expected).all())
         # arity-4 fold (same formula as the prover's _fold_step4)
         w_m = gl.primitive_root_of_unity(m.bit_length() - 1)
         w_m_inv = pow(w_m, gl.P - 2, gl.P)
         s_inv = pow(cur_shift, gl.P - 2, gl.P)
         # x_j^{-1} = s^{-1} w^{-j} via per-query exponentiation (log m muls)
         inv_x = _pow_per_query(w_m_inv, j, q)
-        inv_x = gl.mul(inv_x, jnp.asarray(np.uint64(s_inv)))
-        beta = jnp.asarray(np.array(betas[k], dtype=np.uint64))
+        inv_x = gl.mul(inv_x, np.uint64(s_inv))
+        beta = np.array(betas[k], dtype=np.uint64)
         a0, a1, a2, a3 = _dft4_terms(*vs)
         expected = _fold4_combine(a0, a1, a2, a3, inv_x, beta)
         idx = j
@@ -293,17 +305,14 @@ def fri_verify_query_layers(
 
     # final polynomial evaluation at the query points (base-field points)
     w_m = gl.primitive_root_of_unity(m.bit_length() - 1)
-    x = gl.mul(
-        _pow_per_query(w_m, idx, m),
-        jnp.asarray(np.uint64(cur_shift)),
-    )  # [Q]
-    fc = jnp.asarray(final_coeffs)  # [L, 2]
-    acc = jnp.zeros((x.shape[0], 2), dtype=jnp.uint64)
+    x = gl.mul(_pow_per_query(w_m, idx, m), np.uint64(cur_shift))  # [Q]
+    fc = np.asarray(final_coeffs)  # [L, 2]
+    acc = np.zeros((x.shape[0], 2), dtype=np.uint64)
     x_ext = gl.ext_from_base(x)  # [Q, 2]
     for c in range(fc.shape[0] - 1, -1, -1):
         acc = gl.ext_mul(acc, x_ext)
-        acc = gl.ext_add(acc, jnp.broadcast_to(fc[c], acc.shape))
-    ok &= bool(np.asarray((acc == expected).all()))
+        acc = gl.ext_add(acc, np.broadcast_to(fc[c], acc.shape))
+    ok &= bool((acc == expected).all())
     return ok
 
 
