@@ -339,3 +339,33 @@ def available() -> bool:
     except Exception:  # pragma: no cover
         return False
     return plat in ("tpu", "axon")
+
+
+_SELF_TEST: dict[str, bool] = {}
+
+
+def self_test_ok() -> bool:
+    """One-time on-device smoke test (compile + run + compare vs XLA at a
+    tiny shape). The kernels are pinned bit-identical in interpret mode on
+    CPU, but Mosaic lowering only happens on real hardware — a lowering
+    regression must DISABLE the pallas path, not kill a multi-hour prove."""
+    if "ok" not in _SELF_TEST:
+        try:
+            from .. import ntt
+
+            rng = np.random.default_rng(0)
+            x = jnp.asarray(
+                rng.integers(0, _p(), (1 << 6, 128), dtype=np.uint64)
+            )
+            got = np.asarray(ntt2d(x, inverse=False))
+            want = np.asarray(ntt._ntt_xla(x, inverse=False))
+            _SELF_TEST["ok"] = bool((got == want).all())
+        except Exception:
+            _SELF_TEST["ok"] = False
+        if not _SELF_TEST["ok"]:  # pragma: no cover
+            import sys
+
+            sys.stderr.write(
+                "starky: pallas NTT self-test failed; using the XLA path\n"
+            )
+    return _SELF_TEST["ok"]
