@@ -140,24 +140,32 @@ def _mds_layer(state, mds=None):
     then one 128-bit reduction folds A*2^32 + B mod p. ~20 vector ops per
     layer instead of 144 full 64-bit modmuls (the layer dominates the
     permutation's cost: 144 of ~180 muls per round in the dense form).
+
+    Engine-agnostic (xnp): under jit it traces to the device graph; on
+    numpy inputs it runs eagerly on the host (the challenger's vector
+    digests and any tunnel-independent verification use that path).
     """
-    idx = jnp.asarray(_mds_gather_idx())  # [out, d]
-    exps = jnp.asarray(np.array(_FAST_MDS_EXPS, dtype=np.uint64))
+    from . import xnp
+
+    idx = _mds_gather_idx()  # [out, d] numpy: plain constant either engine
+    exps = np.array(_FAST_MDS_EXPS, dtype=np.uint64)
     g = state[..., idx]  # [..., out, d]
     lo = (g & _MASK32) << exps
     hi = (g >> np.uint64(32)) << exps
-    b = jnp.sum(lo, axis=-1)  # < 2^53, exact in u64
-    a = jnp.sum(hi, axis=-1)
+    b = xnp.sum(lo, axis=-1)  # < 2^53, exact in u64
+    a = xnp.sum(hi, axis=-1)
     v_hi = a >> np.uint64(32)
     v_lo_part = (a & _MASK32) << np.uint64(32)
     v_lo = v_lo_part + b
-    carry = (v_lo < v_lo_part).astype(jnp.uint64)
+    carry = (v_lo < v_lo_part).astype(np.uint64)
     return gl._reduce128(v_hi + carry, v_lo)
 
 
 def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
+    from . import xnp
+
     rc, _ = _constants()
-    rc_j = jnp.asarray(rc)
+    rc_j = xnp.asarray(rc)
 
     half = FULL_ROUNDS // 2
     r = 0
@@ -169,7 +177,7 @@ def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
     for _ in range(PARTIAL_ROUNDS):
         state = gl.add(state, rc_j[r])
         s0 = _sbox(state[..., 0])
-        state = state.at[..., 0].set(s0)
+        state = xnp.at_set(state, (Ellipsis, 0), s0)
         state = _mds_layer(state)
         r += 1
     for _ in range(half):
