@@ -74,6 +74,7 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         and values.shape[0].bit_length() - 1 <= 22
         and values.shape[1] >= 64
         and not os.environ.get("STARKY_NO_PALLAS")
+        and not os.environ.get("STARKY_NO_PALLAS_NTT")
     ):
         from .pallas import ntt_kernel as _nk
 

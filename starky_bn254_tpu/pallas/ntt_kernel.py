@@ -266,6 +266,18 @@ def ntt2d(x: jnp.ndarray, inverse: bool = False, interpret: bool = False):
 
     vspec = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
+    # Mosaic's stack for the in-kernel butterfly ladder measures ~9 KB per
+    # L*S lane-unit (34.8 MB at L*S=4096), far past the 16 MB default scoped
+    # limit at prover shapes: raise the cap (v5e VMEM is 128 MB; blocks +
+    # stack peak ~51 MB at the largest supported L*S).
+    import os as _os
+
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=int(_os.environ.get("STARKY_NTT_VMEM_LIMIT_MB", 100))
+        * 1024
+        * 1024
+    )
+
     with _jcfg.enable_x64(False):
         # ---- K1: DIF of length n1 over the leading axis
         k1lo, k1hi = pl.pallas_call(
@@ -285,6 +297,7 @@ def ntt2d(x: jnp.ndarray, inverse: bool = False, interpret: bool = False):
                 jax.ShapeDtypeStruct((n1, g1, s1, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((n1, g1, s1, 128), jnp.uint32),
             ),
+            compiler_params=None if interpret else cparams,
             interpret=interpret,
         )(
             jnp.asarray(w1[0]).reshape(n1, 1, 1),
@@ -320,6 +333,7 @@ def ntt2d(x: jnp.ndarray, inverse: bool = False, interpret: bool = False):
                 jax.ShapeDtypeStruct((n2, g2, s2, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((n2, g2, s2, 128), jnp.uint32),
             ),
+            compiler_params=None if interpret else cparams,
             interpret=interpret,
         )(
             jnp.asarray(w2[0]).reshape(n2, 1, 1),

@@ -264,6 +264,7 @@ def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
         and block.ndim == 2
         and state.shape[0] % _PALLAS_TILE == 0
         and not os.environ.get("STARKY_NO_PALLAS")
+        and not os.environ.get("STARKY_NO_PALLAS_SPONGE")
     ):
         from .pallas import poseidon_kernel as _pk
 
