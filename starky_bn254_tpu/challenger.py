@@ -87,7 +87,14 @@ def _hash_vector_tree(xs: np.ndarray) -> np.ndarray:
 
 
 class Challenger:
-    def __init__(self):
+    """parity=True disables the batched tree-digest observation so every
+    element passes through the duplex exactly as plonky2's challenger would
+    (observe_element appends; a full RATE buffer or a squeeze triggers the
+    overwrite-mode duplex; challenges pop from the END of the squeezed rate
+    window). The duplex core is identical in both modes."""
+
+    def __init__(self, parity: bool = False):
+        self.parity = parity
         self.state = [0] * poseidon.WIDTH
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
@@ -102,7 +109,7 @@ class Challenger:
 
     def observe_elements(self, xs):
         xs = np.asarray(xs, dtype=np.uint64).reshape(-1)
-        if xs.size >= VECTOR_OBSERVE_MIN:
+        if not self.parity and xs.size >= VECTOR_OBSERVE_MIN:
             # batched tree digest: bit-identical between prover and verifier
             # by construction (both call this same path on the same vector).
             # The length is absorbed first so vectors of different lengths
@@ -140,5 +147,12 @@ class Challenger:
         return (self.get_challenge(), self.get_challenge())
 
     def get_indices(self, n_queries: int, domain_size: int) -> list[int]:
+        # domain_size is a power of two, so the mask equals plonky2's
+        # `to_canonical_u64() % lde_size` index derivation exactly
         assert domain_size & (domain_size - 1) == 0
         return [self.get_challenge() & (domain_size - 1) for _ in range(n_queries)]
+
+    def snapshot(self) -> tuple[list[int], list[int]]:
+        """(state, pending input buffer) — lets the PoW grinder simulate
+        observe(nonce) -> squeeze on device without mutating the transcript."""
+        return list(self.state), list(self.input_buffer)

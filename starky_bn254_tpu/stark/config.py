@@ -21,6 +21,14 @@ class FriConfig:
     # (slightly larger final polys trade a few KB of proof for fewer fold
     # layers => fewer compiled graphs and Merkle paths)
     final_poly_bits: int = 7
+    # Transcript-parity mode (plonky2 discipline): every vector is observed
+    # element-wise (no tree digests) and proof-of-work follows plonky2's
+    # observe(nonce) -> squeeze -> leading-zeros check instead of the
+    # H(seed, nonce) threshold. With plonky2's Poseidon constants swapped in
+    # via poseidon.set_params, the Fiat-Shamir challenge stream becomes a
+    # data diff against the reference fork (SURVEY.md §7 step 2; the fork's
+    # PoseidonGoldilocksConfig at reference src/modular/modular.rs:541-543).
+    parity: bool = False
 
     @property
     def blowup(self) -> int:
@@ -35,6 +43,13 @@ class StarkConfig:
     @staticmethod
     def standard_fast_config() -> "StarkConfig":
         return StarkConfig()
+
+    @staticmethod
+    def parity_config() -> "StarkConfig":
+        """standard_fast_config with the plonky2 transcript discipline
+        (element-wise observation, plonky2-style PoW). Golden challenge
+        vectors for this mode are pinned in tests/test_parity.py."""
+        return StarkConfig(fri=FriConfig(parity=True))
 
     @staticmethod
     def test_config() -> "StarkConfig":

@@ -108,9 +108,18 @@ def fri_prove(
 
     # proof-of-work grinding (device-batched search)
     with tt.scope("pow grind"):
-        pow_seed = challenger.get_challenge()
-        nonce = grind(pow_seed, cfg.proof_of_work_bits)
-        challenger.observe_element(nonce)
+        if cfg.parity:
+            # plonky2 discipline: the nonce is observed, then the NEXT
+            # squeezed challenge must have >= pow_bits leading zeros
+            st, ib = challenger.snapshot()
+            nonce = grind_parity(st, ib, cfg.proof_of_work_bits)
+            challenger.observe_element(nonce)
+            response = challenger.get_challenge()
+            assert response < (1 << (64 - cfg.proof_of_work_bits))
+        else:
+            pow_seed = challenger.get_challenge()
+            nonce = grind(pow_seed, cfg.proof_of_work_bits)
+            challenger.observe_element(nonce)
 
     indices = challenger.get_indices(cfg.num_query_rounds, n)
 
@@ -223,6 +232,33 @@ def grind(seed: int, pow_bits: int) -> int:
 def check_pow(seed: int, nonce: int, pow_bits: int) -> bool:
     val = _pow_value(seed, jnp.asarray([nonce], dtype=jnp.uint64))[0]
     return int(val) < (1 << (64 - pow_bits))
+
+
+def grind_parity(state: list[int], input_buffer: list[int], pow_bits: int) -> int:
+    """plonky2-style grind: find nonce so that observing it and squeezing
+    yields a challenge with >= pow_bits leading zeros.
+
+    Simulates the duplex directly: the response equals
+    permute(state with slots [0..k] <- pending inputs + nonce)[RATE-1]
+    whether the duplex fires inside observe (buffer reached RATE) or at the
+    squeeze (partial overwrite) — batched over candidate nonces on device."""
+    k = len(input_buffer)
+    assert k < poseidon.RATE
+    threshold = np.uint64(1 << (64 - pow_bits))
+    base = np.array(state, dtype=np.uint64)
+    base[:k] = np.array(input_buffer, dtype=np.uint64)
+    base_j = jnp.asarray(base)
+    batch = 1 << max(pow_bits + 2, 10)
+    start = 0
+    while True:
+        nonces = jnp.arange(start, start + batch, dtype=jnp.uint64)
+        st = jnp.broadcast_to(base_j, (batch, poseidon.WIDTH))
+        st = st.at[:, k].set(nonces)
+        vals = poseidon.permute(st)[:, poseidon.RATE - 1]
+        hits = np.asarray(vals < threshold)
+        if hits.any():
+            return int(start + int(np.argmax(hits)))
+        start += batch
 
 
 # ----------------------------------------------------------------------------

@@ -323,7 +323,7 @@ def prove(
     degree_bits = n.bit_length() - 1
     nc = cfg.num_challenges
 
-    challenger = Challenger()
+    challenger = Challenger(parity=cfg.fri.parity)
     pi_arr = np.asarray(public_inputs, dtype=np.uint64)
     challenger.observe_elements(pi_arr)
 

@@ -92,7 +92,7 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
     )
 
     # ---- transcript replay -------------------------------------------------
-    challenger = Challenger()
+    challenger = Challenger(parity=cfg.fri.parity)
     challenger.observe_elements(proof.public_inputs)
     challenger.observe_cap(proof.trace_cap)
     gammas: list[int] = []
@@ -118,12 +118,21 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
         "final poly length",
     )
     challenger.observe_elements(proof.fri.final_coeffs.reshape(-1))
-    pow_seed = challenger.get_challenge()
-    _require(
-        check_pow(pow_seed, proof.fri.pow_nonce, cfg.fri.proof_of_work_bits),
-        "proof of work",
-    )
-    challenger.observe_element(proof.fri.pow_nonce)
+    if cfg.fri.parity:
+        # plonky2 discipline: observe the nonce, squeeze the response,
+        # check its leading zeros (see fri.grind_parity)
+        challenger.observe_element(proof.fri.pow_nonce)
+        response = challenger.get_challenge()
+        _require(
+            response < (1 << (64 - cfg.fri.proof_of_work_bits)), "proof of work"
+        )
+    else:
+        pow_seed = challenger.get_challenge()
+        _require(
+            check_pow(pow_seed, proof.fri.pow_nonce, cfg.fri.proof_of_work_bits),
+            "proof of work",
+        )
+        challenger.observe_element(proof.fri.pow_nonce)
     indices = challenger.get_indices(cfg.fri.num_query_rounds, n_lde)
     _require(len(proof.fri.query_rounds) == cfg.fri.num_query_rounds, "query count")
 
