@@ -424,3 +424,151 @@ def g2_mul(p, k: int):
     zinv = fq2_inv(Z)
     z2 = fq2_mul(zinv, zinv)
     return (fq2_mul(X, z2), fq2_mul(fq2_mul(Y, z2), zinv))
+
+
+# ----------------------------------------------------------------------------
+# Square roots in Fq / Fq2 and the SVDW map to the G2 twist (hash-to-G2)
+# ----------------------------------------------------------------------------
+# The reference composes plonky2-bn254's `map_to_g2_without_cofactor_mul`
+# with its cofactor-mul circuit for hash-to-G2 (reference
+# src/curves/g2/circuit.rs:388-390,445-474). Here the map itself is the
+# standard Shallue-van de Woestijne encoding (RFC 9380 §6.6.1) specialized
+# to E': y^2 = x^3 + 3/(9+u) over Fq2 (A = 0); the cofactor multiplication
+# is the proven part (compose.msm.g2_mul_by_cofactor_input).
+
+_HALF_BN = (P_BN + 1) // 2  # 1/2 mod p
+
+
+def fq_is_square(a: int) -> bool:
+    a %= P_BN
+    return a == 0 or pow(a, (P_BN - 1) // 2, P_BN) == 1
+
+
+def fq_sqrt(a: int):
+    """sqrt mod p (p === 3 mod 4), or None if a is not a square."""
+    a %= P_BN
+    r = pow(a, (P_BN + 1) // 4, P_BN)
+    return r if r * r % P_BN == a else None
+
+
+def fq2_is_square(a) -> bool:
+    """a is a square in Fq2 iff its norm a0^2 + a1^2 is a square in Fq
+    (a^((p^2-1)/2) = norm(a)^((p-1)/2) since a^(p+1) = norm(a))."""
+    a0, a1 = a
+    return fq_is_square((a0 * a0 + a1 * a1) % P_BN)
+
+
+def fq2_sqrt(a):
+    """Square root in Fq2 = Fq[u]/(u^2+1) by the complex method; None if a
+    is a non-residue. (x0 + x1 u)^2 = (x0^2 - x1^2) + 2 x0 x1 u."""
+    a0, a1 = a[0] % P_BN, a[1] % P_BN
+    if a1 == 0:
+        r = fq_sqrt(a0)
+        if r is not None:
+            return (r, 0)
+        r = fq_sqrt(P_BN - a0)  # (x u)^2 = -x^2 = a0
+        return None if r is None else (0, r)
+    alpha = fq_sqrt((a0 * a0 + a1 * a1) % P_BN)  # norm
+    if alpha is None:
+        return None
+    delta = (a0 + alpha) * _HALF_BN % P_BN
+    if not fq_is_square(delta):
+        delta = (a0 - alpha) * _HALF_BN % P_BN
+    x0 = fq_sqrt(delta)
+    if x0 is None:
+        return None
+    x1 = a1 * _HALF_BN % P_BN * fq_inv(x0) % P_BN
+    return (x0, x1)
+
+
+def _fq2_sgn0(a) -> int:
+    """RFC 9380 sgn0 for m=2: parity of a0, or of a1 when a0 == 0."""
+    a0, a1 = a[0] % P_BN, a[1] % P_BN
+    return (a0 & 1) if a0 != 0 else (a1 & 1)
+
+
+def _g2_g(x):
+    """g(x) = x^3 + B' on the twist."""
+    return fq2_add(fq2_mul(fq2_mul(x, x), x), G2_B)
+
+
+def _svdw_constants():
+    """Find Z per RFC 9380 §6.6.1 criteria and derive c1..c4 (cached)."""
+    candidates = []
+    for k in range(1, 9):
+        candidates += [(k, 0), (P_BN - k, 0), (0, k), (0, P_BN - k), (k, k)]
+    for Z in candidates:
+        gz = _g2_g(Z)
+        if gz == (0, 0):
+            continue
+        three_z2 = fq2_scalar(fq2_mul(Z, Z), 3)  # 3Z^2 + 4A, A = 0
+        if three_z2 == (0, 0):
+            continue
+        ratio = fq2_mul(fq2_neg(three_z2), fq2_inv(fq2_scalar(gz, 4)))
+        if not fq2_is_square(ratio):
+            continue
+        neg_half_z = fq2_scalar(fq2_neg(Z), _HALF_BN)
+        if not (fq2_is_square(gz) or fq2_is_square(_g2_g(neg_half_z))):
+            continue
+        c1 = gz
+        c2 = neg_half_z
+        c3 = fq2_sqrt(fq2_mul(fq2_neg(gz), three_z2))
+        if c3 is None:
+            continue
+        if _fq2_sgn0(c3) == 1:
+            c3 = fq2_neg(c3)
+        c4 = fq2_mul(fq2_scalar(fq2_neg(gz), 4), fq2_inv(three_z2))
+        return Z, c1, c2, c3, c4
+    raise AssertionError("no SVDW Z found")  # pragma: no cover
+
+
+_SVDW = None
+
+
+def map_to_g2_svdw(u) -> tuple:
+    """SVDW map Fq2 -> E'(Fq2) (twist point, NOT in the r-torsion subgroup;
+    multiply by G2_COFACTOR — the proven step — to land in G2)."""
+    global _SVDW
+    if _SVDW is None:
+        _SVDW = _svdw_constants()
+    Z, c1, c2, c3, c4 = _SVDW
+    one = (1, 0)
+    tv1 = fq2_mul(fq2_mul(u, u), c1)
+    tv2 = fq2_add(one, tv1)
+    tv1 = fq2_sub(one, tv1)
+    tv3 = fq2_mul(tv1, tv2)
+    if tv3 == (0, 0):  # exceptional case: inv0 semantics
+        tv3 = (0, 0)
+    else:
+        tv3 = fq2_inv(tv3)
+    tv4 = fq2_mul(fq2_mul(fq2_mul(u, tv1), tv3), c3)
+    x1 = fq2_sub(c2, tv4)
+    gx1 = _g2_g(x1)
+    e1 = fq2_is_square(gx1)
+    x2 = fq2_add(c2, tv4)
+    gx2 = _g2_g(x2)
+    e2 = fq2_is_square(gx2) and not e1
+    x3 = fq2_add(fq2_mul(fq2_mul(fq2_mul(fq2_mul(tv2, tv2), tv3),
+                                 fq2_mul(fq2_mul(tv2, tv2), tv3)), c4), Z)
+    x = x1 if e1 else (x2 if e2 else x3)
+    gx = _g2_g(x)
+    y = fq2_sqrt(gx)
+    assert y is not None, "SVDW output must be on the curve"
+    if _fq2_sgn0(u) != _fq2_sgn0(y):
+        y = fq2_neg(y)
+    return (x, y)
+
+
+def hash_to_g2_field(msg: bytes) -> tuple:
+    """Deterministic Fq2 element from a message (SHA-256 counter expansion;
+    a fixed, documented scheme — not the full RFC 9380 expand_message)."""
+    import hashlib
+
+    def fe(tag: bytes) -> int:
+        h = b"".join(
+            hashlib.sha256(b"starky-bn254-tpu-h2g2" + tag + msg + bytes([i])).digest()
+            for i in range(2)
+        )
+        return int.from_bytes(h, "big") % P_BN
+
+    return (fe(b"c0"), fe(b"c1"))

@@ -240,3 +240,52 @@ def g2_mul_by_cofactor_input(p) -> tuple:
     g2/circuit.rs:335-367, cofactor constant :346-349). Combined with a
     map-to-curve this gives hash-to-G2."""
     return (p, bn254.G2_GEN, bn254.G2_COFACTOR)
+
+
+def prove_hash_to_g2(msg: bytes, cfg=None, range_check="split", io_binding="auto"):
+    """End-to-end hash-to-G2 with a proven cofactor multiplication
+    (reference test: src/curves/g2/circuit.rs:445-474).
+
+    Host side: msg -> Fq2 (bn254.hash_to_g2_field) -> twist point via the
+    SVDW map. Proven side: one G2ExpAir instance computing
+    cofactor * P + G2_GEN. Returns (proof, mapped_point, result, air):
+    result = cofactor * P is the subgroup element."""
+    import jax.numpy as jnp
+
+    from ..airs.g2_exp import G2ExpAir
+    from ..stark import StarkConfig, prove
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    p_twist = bn254.map_to_g2_svdw(bn254.hash_to_g2_field(msg))
+    inputs = [g2_mul_by_cofactor_input(p_twist)]
+    air = G2ExpAir(1, range_check=range_check, io_binding=io_binding)
+    trace, pi = air.generate_trace_and_pi(inputs)
+    proof = prove(air, jnp.asarray(trace), pi, cfg)
+    result = bn254.g2_mul(p_twist, bn254.G2_COFACTOR)
+    return proof, p_twist, result, air
+
+
+def verify_hash_to_g2(msg: bytes, proof, result, air, cfg=None) -> bool:
+    """Re-derives the twist point from msg, verifies the STARK, and checks
+    the public IO binds (x = mapped point, offset = G2_GEN,
+    output = result + G2_GEN)."""
+    from ..stark import StarkConfig, verify
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    if not verify(air, proof, cfg):
+        return False
+    p_twist = bn254.map_to_g2_svdw(bn254.hash_to_g2_field(msg))
+    pi = proof.public_inputs
+
+    def point_at(field):  # 0=x, 1=offset, 3=output
+        base = {0: 0, 1: 32, 3: 72}[field]
+        vals = [_u32s(pi, base + 8 * k) for k in range(4)]
+        return ((vals[0], vals[1]), (vals[2], vals[3]))
+
+    if point_at(0) != p_twist or point_at(1) != bn254.G2_GEN:
+        return False
+    expected_out = bn254.g2_add(result, bn254.G2_GEN)
+    if point_at(3) != expected_out:
+        return False
+    # subgroup sanity: result must be r-torsion
+    return bn254.g2_mul(result, bn254.R_BN) is None

@@ -364,22 +364,29 @@ def self_test_ok() -> bool:
     CPU, but Mosaic lowering only happens on real hardware — a lowering
     regression must DISABLE the pallas path, not kill a multi-hour prove."""
     if "ok" not in _SELF_TEST:
-        try:
-            from .. import ntt
+        import sys
 
-            rng = np.random.default_rng(0)
-            x = jnp.asarray(
-                rng.integers(0, _p(), (1 << 6, 128), dtype=np.uint64)
-            )
-            got = np.asarray(ntt2d(x, inverse=False))
-            want = np.asarray(ntt._ntt_xla(x, inverse=False))
-            _SELF_TEST["ok"] = bool((got == want).all())
-        except Exception:
-            _SELF_TEST["ok"] = False
-        if not _SELF_TEST["ok"]:  # pragma: no cover
-            import sys
+        for attempt in range(2):  # one retry: transient tunnel/compile hiccups
+            try:
+                from .. import ntt
 
-            sys.stderr.write(
-                "starky: pallas NTT self-test failed; using the XLA path\n"
-            )
+                rng = np.random.default_rng(0)
+                x = jnp.asarray(
+                    rng.integers(0, _p(), (1 << 6, 128), dtype=np.uint64)
+                )
+                got = np.asarray(ntt2d(x, inverse=False))
+                want = np.asarray(ntt._ntt_xla(x, inverse=False))
+                _SELF_TEST["ok"] = bool((got == want).all())
+                if not _SELF_TEST["ok"]:  # mismatch won't fix itself: no retry
+                    sys.stderr.write(
+                        "starky: pallas NTT self-test MISMATCH; XLA path\n"
+                    )
+                    break
+                break
+            except Exception as e:  # pragma: no cover
+                _SELF_TEST["ok"] = False
+                sys.stderr.write(
+                    f"starky: pallas NTT self-test error (attempt {attempt + 1}):"
+                    f" {type(e).__name__}: {str(e)[:300]}\n"
+                )
     return _SELF_TEST["ok"]

@@ -193,9 +193,42 @@ import jax
 permute = jax.jit(_permute_impl)
 
 
-@jax.jit
 def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
     """Fixed-length overwrite-mode sponge: [..., n] -> [..., 4] digest.
+
+    2-D batches with a TPU-tileable row count route through the Pallas
+    sponge kernel (5.6x the XLA scan at commit shapes — this is the Merkle
+    LEAF hashing path, the bulk of every commit's hash work). Zero-padding
+    the width to a RATE multiple reproduces the XLA path's separate
+    zero-padded tail absorption exactly, so digests are bit-identical."""
+    n = inputs.shape[-1]
+    if (
+        inputs.ndim == 2
+        and n > 4
+        and inputs.shape[0] % _PALLAS_TILE == 0
+        and not os.environ.get("STARKY_NO_PALLAS")
+        and not os.environ.get("STARKY_NO_PALLAS_SPONGE")
+    ):
+        from .pallas import poseidon_kernel as _pk
+
+        if _pk.available():
+            pad = (-n) % RATE
+            x = jnp.pad(inputs, ((0, 0), (0, pad))) if pad else inputs
+            state = jnp.zeros((inputs.shape[0], WIDTH), dtype=jnp.uint64)
+            # the kernel unrolls its chunk loop (<= 15 chunks per call);
+            # wider rows chain state across 120-col blocks — the same
+            # overwrite-mode chunk sequence, so digests are bit-identical
+            for off in range(0, x.shape[1], 15 * RATE):
+                state = _pk.sponge_absorb(
+                    state, x[:, off : off + 15 * RATE], tile=_PALLAS_TILE
+                )
+            return state[:, :4]
+    return _hash_no_pad_xla(inputs)
+
+
+@jax.jit
+def _hash_no_pad_xla(inputs: jnp.ndarray) -> jnp.ndarray:
+    """XLA-scan sponge (any shape/backend).
 
     Full rate-sized chunks are absorbed via a lax.scan whose body slices
     the chunk straight out of the input (ONE permutation in the graph

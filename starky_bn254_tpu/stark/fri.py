@@ -100,10 +100,13 @@ def fri_prove(
     with tt.scope("final poly"):
         coeffs_shifted = ntt.ntt(values, inverse=True)  # [m, 2]
         s_inv = pow(cur_shift, gl.P - 2, gl.P)
-        unscale = gl.powers_vec(jnp.asarray(np.uint64(s_inv)), m)
-        final_coeffs = gl.mul(coeffs_shifted, unscale[:, None])
+        # host-precomputed unscale powers + one jitted rescale: the eager
+        # device powers_vec paid ~200 tunnel round trips (measured ~400 ms)
+        unscale = gl.powers_vec(np.array([s_inv], dtype=np.uint64), m)  # host
         final_len = m // cfg.blowup
-        final_coeffs = final_coeffs[:final_len]
+        final_coeffs = _rescale_coeffs(coeffs_shifted, jnp.asarray(unscale))[
+            :final_len
+        ]
         challenger.observe_elements(np.asarray(final_coeffs).reshape(-1))
 
     # proof-of-work grinding (device-batched search)
@@ -188,6 +191,11 @@ def _fold4_combine(a0, a1, a2, a3, inv_x, beta_arr):
 
 
 @jax.jit
+def _rescale_coeffs(coeffs, unscale):
+    return gl.mul(coeffs, unscale[:, None])
+
+
+@jax.jit
 def _fold_step4(values, beta_arr, w_m_inv, s_inv):
     m = values.shape[0]
     q = m // ARITY
@@ -202,11 +210,12 @@ def _fold_step4(values, beta_arr, w_m_inv, s_inv):
 # ----------------------------------------------------------------------------
 
 
-def _pow_value(seed: int, nonces: jnp.ndarray) -> jnp.ndarray:
-    """H(seed, nonce)[0] for a batch of nonces."""
+@jax.jit
+def _pow_value(seed, nonces: jnp.ndarray) -> jnp.ndarray:
+    """H(seed, nonce)[0] for a batch of nonces (one dispatch per batch)."""
     b = nonces.shape[0]
     state = jnp.zeros((b, poseidon.WIDTH), dtype=jnp.uint64)
-    state = state.at[:, 0].set(np.uint64(seed))
+    state = state.at[:, 0].set(seed)
     state = state.at[:, 1].set(nonces)
     return poseidon.permute(state)[:, 0]
 
@@ -222,7 +231,7 @@ def grind(seed: int, pow_bits: int) -> int:
     start = (seed >> 24) & 0xFFFFFFFF
     while True:
         nonces = jnp.arange(start, start + batch, dtype=jnp.uint64)
-        vals = _pow_value(seed, nonces)
+        vals = _pow_value(np.uint64(seed), nonces)
         hits = np.asarray(vals < threshold)
         if hits.any():
             return int(start + int(np.argmax(hits)))
@@ -230,7 +239,7 @@ def grind(seed: int, pow_bits: int) -> int:
 
 
 def check_pow(seed: int, nonce: int, pow_bits: int) -> bool:
-    val = _pow_value(seed, jnp.asarray([nonce], dtype=jnp.uint64))[0]
+    val = _pow_value(np.uint64(seed), jnp.asarray([nonce], dtype=jnp.uint64))[0]
     return int(val) < (1 << (64 - pow_bits))
 
 

@@ -435,7 +435,7 @@ def prove(
     with tt.scope("opening combine"):
         f_values = _batch_opening_poly(
             zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta,
-            beta_arr,
+            beta,
         )
 
     oracles = [(trace_c.tree, trace_c.lde)]
@@ -490,7 +490,7 @@ def _f_combine(g0, g1, beta_k0):
 
 
 def _batch_opening_poly(
-    zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta, beta_arr
+    zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys, inv_den_gzeta, beta
 ) -> jnp.ndarray:
     """F(x) = G_zeta(x) + beta^{k0} * G_gzeta(x), where each G is the
     beta-combined sum of (p_i(x) - y_i) / (x - point).
@@ -499,19 +499,26 @@ def _batch_opening_poly(
     [N, total_width] modular matvec in ONE program — at the 2^20-row G1
     shape its multi-GB temp reservations crashed the remote TPU compiler.
     Chunking changes only the summation grouping; sums are exact mod p, so
-    the values are bit-identical (canonical representation is unique)."""
+    the values are bit-identical (canonical representation is unique).
+
+    beta comes as host ints: the beta-power weights and the y-side constant
+    accumulate in exact host numpy (the eager device version of
+    ext_powers_vec cost ~2400 tunnel round trips — measured 4.9 s of an
+    8.6 s prove); only the [N, chunk] matvecs and the final combines
+    dispatch, each as one jitted call."""
     import os
 
     n_rows = zeta_mats[0].shape[0]
     chunk = max(int(os.environ.get("STARKY_OPEN_CHUNK_CELLS", 1 << 27)) // n_rows, 8)
     sync = n_rows * sum(m.shape[1] for m in zeta_mats) > (1 << 27)
+    beta_np = np.array(beta, dtype=np.uint64)
 
     def group(mats, ys, inv_den):
         total = sum(m.shape[1] for m in mats)
-        w = gl.ext_powers_vec(beta_arr, total)  # [total, 2]
+        w = gl.ext_powers_vec(beta_np, total)  # [total, 2] host numpy
         s0 = jnp.zeros((n_rows,), dtype=jnp.uint64)
         s1 = jnp.zeros((n_rows,), dtype=jnp.uint64)
-        c_acc = jnp.zeros((2,), dtype=jnp.uint64)
+        c_acc = np.zeros((2,), dtype=np.uint64)
         off = 0
         for m, y in zip(mats, ys):
             k = m.shape[1]
@@ -522,14 +529,14 @@ def _batch_opening_poly(
                 )
                 if sync:
                     jax.block_until_ready(s0)
-            c_acc = gl.ext_add(c_acc, _ext_dot(w[off : off + k], jnp.asarray(y)))
+            c_acc = gl.ext_add(c_acc, _ext_dot(w[off : off + k], np.asarray(y)))
             off += k
-        return _group_finish(s0, s1, c_acc, inv_den), total
+        return _group_finish(s0, s1, jnp.asarray(c_acc), inv_den), total
 
     g0, k0 = group(zeta_mats, zeta_ys, inv_den_zeta)
     g1, _ = group(gzeta_mats, gzeta_ys, inv_den_gzeta)
-    beta_k0 = gl.ext_pow_const(beta_arr, k0)
-    return _f_combine(g0, g1, beta_k0)
+    beta_k0 = gl.ext_pow_const(beta_np, k0)  # host numpy
+    return _f_combine(g0, g1, jnp.asarray(beta_k0))
 
 
 def _ext_dot(w: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
