@@ -129,9 +129,41 @@ class TestFq12ExpU64:
             verify(air, _tampered_pi(proof), CFG)
 
 
+@pytest.mark.skipif(not _INNER, reason="runs via the isolated launcher below")
+class TestHashToG2:
+    """End-to-end hash-to-G2: SVDW map (host) + PROVEN cofactor multiply
+    (reference test src/curves/g2/circuit.rs:445-474)."""
+
+    @pytest.fixture(scope="class")
+    def artifacts(self):
+        from starky_bn254_tpu.compose.msm import prove_hash_to_g2
+
+        msg = b"starky-bn254-tpu round3 h2g2 e2e"
+        proof, p_twist, result, air = prove_hash_to_g2(msg, cfg=CFG)
+        return msg, proof, p_twist, result, air
+
+    def test_verify(self, artifacts):
+        from starky_bn254_tpu.compose.msm import verify_hash_to_g2
+
+        msg, proof, p_twist, result, air = artifacts
+        assert bn254.g2_is_on_curve(p_twist)
+        assert verify_hash_to_g2(msg, proof, result, air, cfg=CFG)
+
+    def test_wrong_message_rejected(self, artifacts):
+        from starky_bn254_tpu.compose.msm import verify_hash_to_g2
+
+        msg, proof, p_twist, result, air = artifacts
+        assert not verify_hash_to_g2(b"other message", proof, result, air, cfg=CFG)
+
+    def test_oracle_cross_check(self, artifacts):
+        msg, proof, p_twist, result, air = artifacts
+        assert result == bn254.g2_mul(p_twist, bn254.G2_COFACTOR)
+        assert bn254.g2_mul(result, bn254.R_BN) is None  # r-torsion
+
+
 @pytest.mark.skipif(bool(_INNER), reason="launcher disabled inside children")
 @pytest.mark.parametrize(
-    "family", ["TestG2Exp", "TestFq12Exp", "TestFq12ExpU64"]
+    "family", ["TestG2Exp", "TestFq12Exp", "TestFq12ExpU64", "TestHashToG2"]
 )
 def test_family_roundtrip_isolated(family):
     env = os.environ.copy()
