@@ -119,6 +119,9 @@ def full_bench() -> int:
     t0 = time.time()
     assert verify(air, proof, cfg)
     t_verify = time.time() - t0
+    t0 = time.time()
+    assert verify(air, proof, cfg)
+    t_verify_warm = time.time() - t0
 
     import tempfile
 
@@ -148,6 +151,7 @@ def full_bench() -> int:
                     "prove_s": round(t_prove, 3),
                     "e2e_instances_per_s": round(e2e_per_s, 4),
                     "verify_s": round(t_verify, 3),
+                    "verify_warm_s": round(t_verify_warm, 3),
                     "proof_bytes": proof_bytes,
                     "phases": tt.as_dict(),
                     "device": str(jax.devices()[0]),

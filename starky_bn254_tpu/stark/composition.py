@@ -217,7 +217,7 @@ def _make_segment_fn(closed, t0: int, t1: int, ks: list[int], nc: int):
                 j += 1
         return jnp.stack(accs)
 
-    return jax.jit(seg, donate_argnums=(0,))
+    return seg  # raw; callers wrap in jit (single-chip) or shard_map (mesh)
 
 
 def _block_rows(mat, r0: int, length: int, n: int):
@@ -316,8 +316,11 @@ class CompositionPlan:
                                        aux_width)
         costs = _eqn_cost_per_call(closed, len(ks), self.nc)
         bounds = _plan_segments(costs, SEG_MAX_EQNS)
-        self.segments = [
+        self.segments_raw = [
             _make_segment_fn(closed, t0, t1, ks, self.nc) for (t0, t1) in bounds
+        ]
+        self.segments = [
+            jax.jit(s, donate_argnums=(0,)) for s in self.segments_raw
         ]
         self.num_eqns = len(closed.jaxpr.eqns)
         self.bounds = bounds
@@ -342,8 +345,9 @@ def _pick_block_rows(n_lde: int, width: int) -> int:
 
 
 def get_plan(air: Air, n: int, cfg: StarkConfig, has_z: bool, aux_width: int,
-             n_lde: int) -> CompositionPlan:
-    block_rows = _pick_block_rows(n_lde, air.num_columns + max(aux_width, 1))
+             n_lde: int, block_rows: int | None = None) -> CompositionPlan:
+    if block_rows is None:
+        block_rows = _pick_block_rows(n_lde, air.num_columns + max(aux_width, 1))
     key = (air.layout_key(), block_rows, cfg, has_z, aux_width)
     if key not in _PLAN_CACHE:
         _PLAN_CACHE[key] = CompositionPlan(air, n, cfg, has_z, aux_width,
@@ -407,3 +411,108 @@ def evaluate_composition(
     if len(out_blocks) == 1:
         return out_blocks[0]
     return jnp.concatenate(out_blocks, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded composition: explicit ppermute halo + per-segment shard_map.
+# ---------------------------------------------------------------------------
+
+
+_SHARDED_SEG_CACHE: dict[tuple, list] = {}
+
+
+def evaluate_composition_sharded(
+    mesh,
+    air: Air,
+    trace_lde: jnp.ndarray,  # [N, C] row-sharded global
+    z_lde: jnp.ndarray | None,
+    public_inputs: jnp.ndarray,
+    alphas: list[int],
+    gammas: list[int],
+    n: int,
+    cfg: StarkConfig,
+) -> jnp.ndarray:
+    """Row-sharded constraint composition over a device mesh.
+
+    Each device evaluates its contiguous row block; the `blowup` halo rows
+    every block needs for its `next`-row view arrive by ONE cyclic ppermute
+    per oracle (parallel/sharded.py's halo pattern, now the real prove
+    path). Each compiled SEGMENT is its own shard_map program, preserving
+    the bounded-program-size property that makes wide AIRs compile
+    (module docstring): the segment Horner chain runs per-row, so block
+    boundaries don't change the arithmetic and the result is bit-identical
+    to the single-chip evaluation (pinned by tests/test_parallel.py).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .prover import _lde_selectors
+
+    d = mesh.devices.size
+    axis = mesh.axis_names[0]
+    n_lde = trace_lde.shape[0]
+    assert n_lde % d == 0
+    local = n_lde // d
+    has_z = z_lde is not None
+    aux_width = z_lde.shape[1] if has_z else 0
+    if z_lde is None:
+        z_lde = jnp.zeros((n_lde, 1), dtype=jnp.uint64)
+    plan = get_plan(air, n, cfg, has_z, aux_width, n_lde, block_rows=local)
+    pad, nc = plan.pad, plan.nc
+    assert plan.B == local
+
+    row_sh = NamedSharding(mesh, P(axis, None))
+
+    # -- halo exchange: one ppermute per oracle ------------------------------
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def haloed(rows):
+        head = rows[:pad]  # my first rows = left neighbor's tail `next`
+        perm = [(i, (i - 1) % d) for i in range(d)]
+        neighbor_head = jax.lax.ppermute(head, axis, perm)
+        return jnp.concatenate([rows, neighbor_head], axis=0)
+
+    tb = haloed(jax.device_put(trace_lde, row_sh))  # [(local+pad)*d, C]
+    zb = haloed(jax.device_put(z_lde, row_sh))
+
+    # -- per-segment shard_map programs (cached per layout+mesh) -------------
+    key = (air.layout_key(), local, cfg, has_z, aux_width, id(mesh))
+    if key not in _SHARDED_SEG_CACHE:
+        specs_in = (
+            P(None, axis),  # acc [nc, N] sharded along rows-axis 1
+            P(axis, None),  # haloed trace
+            P(axis, None),  # haloed z
+            P(None),        # public inputs (replicated)
+            P(None),        # alphas
+            P(None),        # gammas
+            P(axis),        # z_last selector rows
+            P(axis),        # l_first
+            P(axis),        # l_last
+        )
+
+        def wrap(seg_raw):
+            sm = jax.shard_map(
+                seg_raw, mesh=mesh, in_specs=specs_in, out_specs=P(None, axis),
+                check_vma=False,
+            )
+            return jax.jit(sm, donate_argnums=(0,))
+
+        _SHARDED_SEG_CACHE[key] = [wrap(s) for s in plan.segments_raw]
+    segments = _SHARDED_SEG_CACHE[key]
+
+    sels = _lde_selectors(n, cfg.fri.rate_bits)
+    a = jnp.asarray(np.array(alphas, dtype=np.uint64))
+    g = jnp.asarray(np.array(gammas if gammas else [0] * nc, dtype=np.uint64))
+    pi = jnp.asarray(public_inputs)
+    row_vec_sh = NamedSharding(mesh, P(axis))
+    z_last = jax.device_put(jnp.asarray(sels["z_last"]), row_vec_sh)
+    l_first = jax.device_put(jnp.asarray(sels["l_first"]), row_vec_sh)
+    l_last = jax.device_put(jnp.asarray(sels["l_last"]), row_vec_sh)
+    acc = jax.device_put(
+        jnp.zeros((nc, n_lde), dtype=jnp.uint64), NamedSharding(mesh, P(None, axis))
+    )
+    for seg in segments:
+        acc = seg(acc, tb, zb, pi, a, g, z_last, l_first, l_last)
+    zh_inv = jax.device_put(jnp.asarray(sels["zh_inv"]), row_vec_sh)
+    return _finish_block(acc, zh_inv)

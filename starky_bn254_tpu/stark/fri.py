@@ -51,6 +51,7 @@ def fri_prove(
     challenger: Challenger,
     cfg: FriConfig,
     timing=None,
+    mesh=None,
 ) -> FriProof:
     from ..utils.timing import TimingTree
 
@@ -85,13 +86,20 @@ def fri_prove(
             # F_t(x^4) = (1/4) x^{-t} sum_k i^{-kt} F(i^k x)
             w_m_inv = pow(gl.primitive_root_of_unity(m.bit_length() - 1), gl.P - 2, gl.P)
             s_inv = pow(cur_shift, gl.P - 2, gl.P)
-            beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
-            values = _fold_step4(
-                values,
-                beta_arr,
-                jnp.asarray(np.uint64(w_m_inv)),
-                jnp.asarray(np.uint64(s_inv)),
-            )
+            if mesh is not None and q % (4 * mesh.devices.size) == 0:
+                # distributed fold: rows stay sharded, GSPMD moves the
+                # quarter-offset quads (bit-identical — same _fold_step4)
+                from ..parallel.sharded import sharded_fri_fold
+
+                values = sharded_fri_fold(mesh, values, beta, w_m_inv, s_inv)
+            else:
+                beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
+                values = _fold_step4(
+                    values,
+                    beta_arr,
+                    jnp.asarray(np.uint64(w_m_inv)),
+                    jnp.asarray(np.uint64(s_inv)),
+                )
             cur_shift = pow(cur_shift, ARITY, gl.P)
             m = q
 

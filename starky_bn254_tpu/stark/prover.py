@@ -362,16 +362,31 @@ def prove(
     trace = None  # composition reads trace_c.lde; drop the subgroup values
     alphas = challenger.get_n_challenges(nc)
     with tt.scope("constraint composition"):
-        qvals = evaluate_composition(
-            air,
-            trace_c.lde,
-            z_c.lde if z_c else None,
-            jnp.asarray(pi_arr),
-            alphas,
-            gammas,
-            n,
-            cfg,
-        )  # [nc, N]
+        if mesh is not None:
+            from .composition import evaluate_composition_sharded
+
+            qvals = evaluate_composition_sharded(
+                mesh,
+                air,
+                trace_c.lde,
+                z_c.lde if z_c else None,
+                jnp.asarray(pi_arr),
+                alphas,
+                gammas,
+                n,
+                cfg,
+            )  # [nc, N] (rows sharded along axis 1)
+        else:
+            qvals = evaluate_composition(
+                air,
+                trace_c.lde,
+                z_c.lde if z_c else None,
+                jnp.asarray(pi_arr),
+                alphas,
+                gammas,
+                n,
+                cfg,
+            )  # [nc, N]
     # interpolate quotient over the LDE coset, split into degree-n chunks
     tt_q = tt.scope("quotient commit")
     tt_q.__enter__()
@@ -445,7 +460,8 @@ def prove(
 
     with tt.scope("fri"):
         fri_proof = fri_prove(
-            f_values, gl.GENERATOR, oracles, challenger, cfg.fri, timing=tt
+            f_values, gl.GENERATOR, oracles, challenger, cfg.fri, timing=tt,
+            mesh=mesh,
         )
     tt.finish()
 
