@@ -1,0 +1,435 @@
+"""Shared-FRI batch proving: ONE succinct artifact attesting N statements.
+
+The reference's composition power is a plonky2 circuit that verifies every
+inner STARK inside one SNARK (reference src/fields/fq/circuit.rs:106-108).
+The TPU-first equivalent here keeps the statements as STARKs but makes them
+share the expensive tail: each statement commits its own trace/aux/quotient
+and opens at its own zeta inside ONE Fiat-Shamir transcript, then a single
+random linear combination
+
+    F(x) = sum_j mu^j * F_j(x)
+
+of the per-statement batched-opening polynomials runs ONE FRI (one fold
+ladder, one PoW grind, one set of 84 query rounds opening every statement's
+oracles at shared indices). Versus N independent proofs this shares the
+FRI layer commitments/paths, the final polynomial and the proof-of-work —
+and verification replays ONE fold ladder instead of N.
+
+Soundness: beta and mu are drawn after every cap and opening is in the
+transcript; a wrong opening in any statement makes its F_j high-degree off
+the claimed evaluations, and the mu-combination preserves that except with
+probability ~deg/|F_ext| per challenge (standard batched-FRI argument, the
+same RLC shape plonky2 uses inside one proof's opening batch).
+
+Requirements: all statements share the trace HEIGHT (same degree_bits) and
+config. Mixed families are fine — G1/G2/Fq12 statements of one protocol
+batch together as long as their traces are padded to one height.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import goldilocks as gl
+from .. import ntt
+from ..challenger import Challenger
+from .air import Air
+from .config import StarkConfig
+from .fri import ARITY, _fold_layer_sizes, fri_prove, fri_verify_query_layers, verify_merkle_batch
+from .proof import StarkOpenings, StarkProof
+from .prover import (
+    QUOTIENT_CHUNKS,
+    _batch_opening_poly,
+    _ext_inv_x_minus,
+    _lde_selectors,
+    commit,
+    compute_z_columns,
+    evaluate_composition,
+)
+from .verifier import VerificationError, _require
+
+
+@dataclass
+class BatchStarkProof:
+    """N statements, one shared FRI. statements[j] is a StarkProof whose
+    `fri` field is EMPTY except in statements[0], which carries the shared
+    FriProof (layer caps, final poly, nonce, query rounds over ALL oracles
+    flattened statement-major)."""
+
+    statements: list[StarkProof]
+
+    @property
+    def shared_fri(self):
+        return self.statements[0].fri
+
+
+def prove_batch_fri(
+    items: list[tuple[Air, jnp.ndarray, np.ndarray]],
+    cfg: StarkConfig,
+    timing=None,
+) -> BatchStarkProof:
+    """items: [(air, trace [n, C_j], public_inputs)] — one shared trace
+    height n across statements."""
+    from ..utils.timing import TimingTree
+    from .logup import compute_logup_columns
+
+    tt = timing if timing is not None else TimingTree("prove_batch")
+    nc = cfg.num_challenges
+    n = items[0][1].shape[0]
+    assert all(t.shape[0] == n for _, t, _ in items), "one shared trace height"
+    degree_bits = n.bit_length() - 1
+
+    challenger = Challenger(parity=cfg.fri.parity)
+    per: list[dict] = []
+
+    for j, (air, trace, public_inputs) in enumerate(items):
+        st: dict = {"air": air}
+        pi_arr = np.asarray(public_inputs, dtype=np.uint64)
+        st["pi"] = pi_arr
+        challenger.observe_elements(pi_arr)
+        with tt.scope(f"s{j} trace commit"):
+            trace = jnp.asarray(trace)
+            trace_c = commit(trace, cfg)
+        challenger.observe_cap(np.asarray(trace_c.tree.cap))
+        st["trace_c"] = trace_c
+
+        pairs = air.permutation_pairs()
+        tables = air.lookup_tables()
+        extra_w = air.aux_extra_width()
+        z_c = None
+        gammas: list[int] = []
+        if pairs or tables or extra_w:
+            gammas = challenger.get_n_challenges(nc)
+            with tt.scope(f"s{j} aux commit"):
+                parts = []
+                if pairs:
+                    parts.append(compute_z_columns(trace, pairs, gammas))
+                if tables:
+                    parts.append(compute_logup_columns(trace, tables, gammas))
+                if extra_w:
+                    parts.append(
+                        jnp.asarray(air.generate_aux(np.asarray(trace), gammas))
+                    )
+                z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+                z_c = commit(z_cols, cfg)
+            challenger.observe_cap(np.asarray(z_c.tree.cap))
+        st["z_c"], st["gammas"] = z_c, gammas
+
+        alphas = challenger.get_n_challenges(nc)
+        st["alphas"] = alphas
+        with tt.scope(f"s{j} composition+quotient"):
+            qvals = evaluate_composition(
+                air, trace_c.lde, z_c.lde if z_c else None,
+                jnp.asarray(pi_arr), alphas, gammas, n, cfg,
+            )
+            q_coeffs = ntt.interpolate_coset(jnp.transpose(qvals), gl.GENERATOR)
+            q_chunk_coeffs = jnp.stack(
+                [
+                    q_coeffs[k * n : (k + 1) * n, c]
+                    for c in range(nc)
+                    for k in range(QUOTIENT_CHUNKS)
+                ],
+                axis=1,
+            )
+            q_lde = ntt.lde_from_coeffs(q_chunk_coeffs, cfg.fri.rate_bits)
+            from .. import merkle
+
+            cap_h = min(cfg.fri.cap_height, q_lde.shape[0].bit_length() - 1)
+            q_tree = merkle.build_merkle_tree(q_lde, cap_h)
+        challenger.observe_cap(np.asarray(q_tree.cap))
+        st["q_lde"], st["q_tree"] = q_lde, q_tree
+
+        zeta = challenger.get_ext_challenge()
+        st["zeta"] = zeta
+        zeta_arr = jnp.asarray(np.array(zeta, dtype=np.uint64))
+        w_n = gl.primitive_root_of_unity(degree_bits)
+        gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
+        xs_ext = gl.ext_from_base(
+            jnp.asarray(_lde_selectors(n, cfg.fri.rate_bits)["xs"])
+        )
+        inv_den_zeta = _ext_inv_x_minus(xs_ext, zeta_arr)
+        inv_den_gzeta = _ext_inv_x_minus(xs_ext, gzeta_arr)
+        st["inv_dens"] = (inv_den_zeta, inv_den_gzeta)
+
+        gzeta = (zeta[0] * w_n % gl.P, zeta[1] * w_n % gl.P)
+        with tt.scope(f"s{j} openings"):
+            trace_zeta = ntt.eval_from_lde(trace_c.lde, zeta, inv_den_zeta)
+            trace_gzeta = ntt.eval_from_lde(trace_c.lde, gzeta, inv_den_gzeta)
+            z_zeta = z_gzeta = None
+            if z_c is not None:
+                z_zeta = ntt.eval_from_lde(z_c.lde, zeta, inv_den_zeta)
+                z_gzeta = ntt.eval_from_lde(z_c.lde, gzeta, inv_den_gzeta)
+            quotient_zeta = ntt.eval_from_lde(q_lde, zeta, inv_den_zeta)
+        openings = StarkOpenings(
+            trace_zeta=np.asarray(trace_zeta),
+            trace_gzeta=np.asarray(trace_gzeta),
+            z_zeta=np.asarray(z_zeta) if z_zeta is not None else None,
+            z_gzeta=np.asarray(z_gzeta) if z_gzeta is not None else None,
+            quotient_zeta=np.asarray(quotient_zeta),
+        )
+        challenger.observe_elements(openings.flat_elements())
+        st["openings"] = openings
+        per.append(st)
+
+    # shared combine: beta (within-statement), mu (across statements)
+    beta = challenger.get_ext_challenge()
+    mu = challenger.get_ext_challenge()
+    mu_np = np.array(mu, dtype=np.uint64)
+
+    with tt.scope("batch opening combine"):
+        f_total = None
+        mu_pow = np.array([1, 0], dtype=np.uint64)
+        for st in per:
+            z_c, o = st["z_c"], st["openings"]
+            inv_den_zeta, inv_den_gzeta = st["inv_dens"]
+            zeta_mats = [st["trace_c"].lde] + ([z_c.lde] if z_c else []) + [st["q_lde"]]
+            zeta_ys = (
+                [o.trace_zeta] + ([o.z_zeta] if z_c else []) + [o.quotient_zeta]
+            )
+            gzeta_mats = [st["trace_c"].lde] + ([z_c.lde] if z_c else [])
+            gzeta_ys = [o.trace_gzeta] + ([o.z_gzeta] if z_c else [])
+            f_j = _batch_opening_poly(
+                zeta_mats, zeta_ys, inv_den_zeta, gzeta_mats, gzeta_ys,
+                inv_den_gzeta, beta,
+            )
+            with np.errstate(over="ignore"):
+                term = gl.ext_mul(f_j, jnp.asarray(mu_pow)[None, :])
+                f_total = term if f_total is None else gl.ext_add(f_total, term)
+                mu_pow = gl.ext_mul(mu_pow, mu_np)
+
+    oracles = []
+    for st in per:
+        oracles.append((st["trace_c"].tree, st["trace_c"].lde))
+        if st["z_c"] is not None:
+            oracles.append((st["z_c"].tree, st["z_c"].lde))
+        oracles.append((st["q_tree"], st["q_lde"]))
+
+    with tt.scope("shared fri"):
+        fri_proof = fri_prove(
+            f_total, gl.GENERATOR, oracles, challenger, cfg.fri, timing=tt
+        )
+    tt.finish()
+
+    empty_fri = type(fri_proof)(layer_caps=[], final_coeffs=np.zeros((0, 2), dtype=np.uint64), pow_nonce=0, query_rounds=[])
+    statements = []
+    for j, st in enumerate(per):
+        statements.append(
+            StarkProof(
+                degree_bits=degree_bits,
+                trace_cap=np.asarray(st["trace_c"].tree.cap),
+                z_cap=np.asarray(st["z_c"].tree.cap) if st["z_c"] else None,
+                quotient_cap=np.asarray(st["q_tree"].cap),
+                openings=st["openings"],
+                fri=fri_proof if j == 0 else empty_fri,
+                public_inputs=st["pi"],
+            )
+        )
+    return BatchStarkProof(statements=statements)
+
+
+def verify_batch_fri(
+    airs: list[Air], batch: BatchStarkProof, cfg: StarkConfig
+) -> bool:
+    """Replays the shared transcript, checks every statement's composition
+    at its zeta, then runs ONE set of FRI query checks against the combined
+    polynomial. Raises VerificationError on failure."""
+    import contextlib
+
+    import jax
+
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() != "cpu":
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except Exception:
+            pass
+    with ctx, np.errstate(over="ignore"):
+        return _verify_batch_impl(airs, batch, cfg)
+
+
+def _verify_batch_impl(airs, batch, cfg) -> bool:
+    from .composition import evaluate_composition_at_zeta
+    from .logup import table_aux_width
+    from .verifier import _recompute_f
+
+    nc = cfg.num_challenges
+    stmts = batch.statements
+    _require(len(airs) == len(stmts), "airs/statements length")
+    n = 1 << stmts[0].degree_bits
+    n_lde = n << cfg.fri.rate_bits
+    _require(all(s.degree_bits == stmts[0].degree_bits for s in stmts),
+             "shared height")
+
+    challenger = Challenger(parity=cfg.fri.parity)
+    per = []
+    for air, s in zip(airs, stmts):
+        challenger.observe_elements(s.public_inputs)
+        challenger.observe_cap(s.trace_cap)
+        pairs, tables = air.permutation_pairs(), air.lookup_tables()
+        extra_w = air.aux_extra_width()
+        has_z = bool(pairs or tables or extra_w)
+        gammas: list[int] = []
+        if has_z:
+            _require(s.z_cap is not None, "missing z commitment")
+            gammas = challenger.get_n_challenges(nc)
+            challenger.observe_cap(s.z_cap)
+        alphas = challenger.get_n_challenges(nc)
+        challenger.observe_cap(s.quotient_cap)
+        zeta = challenger.get_ext_challenge()
+        challenger.observe_elements(s.openings.flat_elements())
+        per.append(
+            {"air": air, "s": s, "gammas": gammas, "alphas": alphas,
+             "zeta": zeta, "has_z": has_z}
+        )
+
+    beta = challenger.get_ext_challenge()
+    mu = challenger.get_ext_challenge()
+
+    # per-statement composition identity at zeta
+    w_n = gl.primitive_root_of_unity(stmts[0].degree_bits)
+    g_last = pow(w_n, n - 1, gl.P)
+    n_inv = pow(n, gl.P - 2, gl.P)
+    one = np.array([1, 0], dtype=np.uint64)
+    for p in per:
+        air, s = p["air"], p["s"]
+        zeta_arr = np.array(p["zeta"], dtype=np.uint64)
+        zeta_n = gl.ext_pow_const(zeta_arr, n)
+        zh = gl.ext_sub(zeta_n, one)
+        z_last_v = gl.ext_sub(zeta_arr, np.array((g_last, 0), dtype=np.uint64))
+        l_first = gl.ext_mul(
+            gl.mul(zh, np.uint64(n_inv)), gl.ext_inv(gl.ext_sub(zeta_arr, one))
+        )
+        l_last = gl.ext_mul(
+            gl.mul(zh, np.uint64(g_last * n_inv % gl.P)), gl.ext_inv(z_last_v)
+        )
+        acc_mat = evaluate_composition_at_zeta(
+            air, s.openings.trace_zeta, s.openings.trace_gzeta,
+            s.openings.z_zeta if p["has_z"] else None,
+            s.openings.z_gzeta if p["has_z"] else None,
+            s.public_inputs, p["alphas"], p["gammas"],
+            z_last_v, l_first, l_last, cfg,
+        )
+        q_open = np.asarray(s.openings.quotient_zeta)
+        for k in range(nc):
+            q_zeta = q_open[k * QUOTIENT_CHUNKS]
+            for jj in range(1, QUOTIENT_CHUNKS):
+                zeta_nj = gl.ext_pow_const(zeta_arr, n * jj)
+                q_zeta = gl.ext_add(
+                    q_zeta, gl.ext_mul(zeta_nj, q_open[k * QUOTIENT_CHUNKS + jj])
+                )
+            _require(
+                bool((acc_mat[k] == gl.ext_mul(zh, q_zeta)).all()),
+                f"composition mismatch (statement, alpha {k})",
+            )
+
+    # shared FRI transcript + query checks
+    fri = batch.shared_fri
+    layer_sizes = _fold_layer_sizes(n_lde, cfg.fri)
+    _require(len(fri.layer_caps) == len(layer_sizes), "fri layer count")
+    fri_betas = []
+    for cap in fri.layer_caps:
+        challenger.observe_cap(cap)
+        fri_betas.append(challenger.get_ext_challenge())
+    final_domain = layer_sizes[-1] // ARITY if layer_sizes else n_lde
+    _require(
+        fri.final_coeffs.shape == (final_domain // cfg.fri.blowup, 2),
+        "final poly length",
+    )
+    challenger.observe_elements(fri.final_coeffs.reshape(-1))
+    if cfg.fri.parity:
+        challenger.observe_element(fri.pow_nonce)
+        response = challenger.get_challenge()
+        _require(response < (1 << (64 - cfg.fri.proof_of_work_bits)), "proof of work")
+    else:
+        from .fri import check_pow
+
+        pow_seed = challenger.get_challenge()
+        _require(check_pow(pow_seed, fri.pow_nonce, cfg.fri.proof_of_work_bits),
+                 "proof of work")
+        challenger.observe_element(fri.pow_nonce)
+    indices = challenger.get_indices(cfg.fri.num_query_rounds, n_lde)
+    _require(len(fri.query_rounds) == cfg.fri.num_query_rounds, "query count")
+
+    # initial merkle checks: oracles flattened statement-major
+    import jax.numpy as jnp_
+
+    idx_np = np.array(indices, dtype=np.int64)
+    idx_j = jnp_.asarray(idx_np)
+    caps = []
+    for p in per:
+        s = p["s"]
+        caps.append(s.trace_cap)
+        if p["has_z"]:
+            caps.append(s.z_cap)
+        caps.append(s.quotient_cap)
+    _require(
+        len(fri.query_rounds[0].initial_leaves) == len(caps), "oracle count"
+    )
+    for o, cap in enumerate(caps):
+        leaves = jnp_.asarray(np.stack([qr.initial_leaves[o] for qr in fri.query_rounds]))
+        paths = jnp_.asarray(np.stack([qr.initial_paths[o] for qr in fri.query_rounds]))
+        _require(
+            verify_merkle_batch(leaves, idx_j, paths, jnp_.asarray(cap)),
+            f"initial merkle check failed (oracle {o})",
+        )
+
+    # combined F at the query points: sum_j mu^j F_j
+    f_total = None
+    mu_np = np.array(mu, dtype=np.uint64)
+    mu_pow = np.array([1, 0], dtype=np.uint64)
+    oracle_off = 0
+    for p in per:
+        s, has_z = p["s"], p["has_z"]
+        n_oracles = 3 if has_z else 2
+
+        class _View:
+            """Adapter: _recompute_f reads proof.fri.query_rounds[*].initial_leaves
+            and proof.openings — present this statement's slice of the shared
+            rounds as a standalone proof."""
+
+        view = _View()
+        view.openings = s.openings
+        view.degree_bits = s.degree_bits
+
+        class _QR:
+            __slots__ = ("initial_leaves",)
+
+        rounds = []
+        for qr in fri.query_rounds:
+            r = _QR()
+            r.initial_leaves = qr.initial_leaves[oracle_off : oracle_off + n_oracles]
+            rounds.append(r)
+
+        class _Fri:
+            __slots__ = ("query_rounds",)
+
+        view.fri = _Fri()
+        view.fri.query_rounds = rounds
+        f_j = _recompute_f(view, has_z, idx_np, np.array(p["zeta"], dtype=np.uint64),
+                           beta, n_lde, cfg)
+        term = gl.ext_mul(np.asarray(f_j), np.broadcast_to(mu_pow, np.asarray(f_j).shape))
+        f_total = term if f_total is None else gl.ext_add(f_total, term)
+        mu_pow = gl.ext_mul(mu_pow, mu_np)
+        oracle_off += n_oracles
+
+    layer_leaves = [
+        jnp_.asarray(np.stack([qr.layer_leaves[k] for qr in fri.query_rounds]))
+        for k in range(len(layer_sizes))
+    ]
+    layer_paths = [
+        jnp_.asarray(np.stack([qr.layer_paths[k] for qr in fri.query_rounds]))
+        for k in range(len(layer_sizes))
+    ]
+    _require(
+        fri_verify_query_layers(
+            jnp_.asarray(f_total), idx_np, layer_leaves, layer_paths,
+            fri.layer_caps, fri_betas, fri.final_coeffs, n_lde, gl.GENERATOR,
+            cfg.fri,
+        ),
+        "shared fri fold/final-poly check failed",
+    )
+    return True

@@ -1,0 +1,110 @@
+"""Shared-FRI batch proving: one FRI ladder attests N statements.
+
+The succinctness substitute for the reference's recursive aggregation
+(reference src/fields/fq/circuit.rs:106-108): N statements share one fold
+ladder, one PoW and one query phase (stark/batch_prove.py).
+"""
+
+import copy
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from starky_bn254_tpu import bn254
+from starky_bn254_tpu.airs.fq_mul import FqMulAir
+from starky_bn254_tpu.stark import StarkConfig, prove
+from starky_bn254_tpu.stark.batch_prove import (
+    BatchStarkProof,
+    prove_batch_fri,
+    verify_batch_fri,
+)
+from starky_bn254_tpu.stark.verifier import VerificationError
+
+RNG = np.random.default_rng(21)
+N_ROWS = 256
+N_STMTS = 3
+CFG = StarkConfig.test_config()
+
+
+def rand_fq():
+    return int.from_bytes(RNG.bytes(40), "little") % bn254.P_BN
+
+
+@pytest.fixture(scope="module")
+def batch():
+    airs, items = [], []
+    for _ in range(N_STMTS):
+        air = FqMulAir(N_ROWS)
+        trace = air.generate_trace([(rand_fq(), rand_fq()) for _ in range(250)])
+        airs.append(air)
+        items.append((air, jnp.asarray(trace), np.zeros(0, dtype=np.uint64)))
+    proof = prove_batch_fri(items, CFG)
+    return airs, proof
+
+
+def test_batch_roundtrip(batch):
+    airs, proof = batch
+    assert verify_batch_fri(airs, proof, CFG)
+
+
+def test_batch_shares_one_fri(batch):
+    airs, proof = batch
+    assert len(proof.statements) == N_STMTS
+    fri = proof.shared_fri
+    # the shared rounds open every statement's oracles at the same indices
+    # (FqMulAir has aux columns: trace + aux + quotient per statement)
+    assert len(fri.query_rounds[0].initial_leaves) == 3 * N_STMTS
+    for s in proof.statements[1:]:
+        assert len(s.fri.layer_caps) == 0  # only statement 0 carries the FRI
+
+
+def test_batch_tampered_opening_rejected(batch):
+    airs, proof = batch
+    bad = copy.deepcopy(proof)
+    tz = bad.statements[1].openings.trace_zeta.copy()
+    tz[0, 0] = (int(tz[0, 0]) + 1) % ((1 << 64) - (1 << 32) + 1)
+    bad.statements[1].openings.trace_zeta = tz
+    with pytest.raises(VerificationError):
+        verify_batch_fri(airs, bad, CFG)
+
+
+def test_batch_tampered_cap_rejected(batch):
+    airs, proof = batch
+    bad = copy.deepcopy(proof)
+    cap = bad.statements[2].trace_cap.copy()
+    cap[0, 0] ^= 1
+    bad.statements[2].trace_cap = cap
+    with pytest.raises(VerificationError):
+        verify_batch_fri(airs, bad, CFG)
+
+
+def test_batch_succinctness(batch):
+    """The shared artifact must be materially smaller than N independent
+    proofs: layer paths, final poly and PoW are paid once."""
+    airs, proof = batch
+
+    def nbytes(p):
+        total = 0
+        for s in [p] if not isinstance(p, BatchStarkProof) else p.statements:
+            total += s.trace_cap.nbytes + s.quotient_cap.nbytes
+            if s.z_cap is not None:
+                total += s.z_cap.nbytes
+            o = s.openings
+            for a in (o.trace_zeta, o.trace_gzeta, o.z_zeta, o.z_gzeta, o.quotient_zeta):
+                if a is not None:
+                    total += a.nbytes
+            total += s.fri.final_coeffs.nbytes
+            for cap in s.fri.layer_caps:
+                total += cap.nbytes
+            for qr in s.fri.query_rounds:
+                for x in qr.initial_leaves + qr.initial_paths + qr.layer_leaves + qr.layer_paths:
+                    total += np.asarray(x).nbytes
+        return total
+
+    batch_bytes = nbytes(proof)
+    air = airs[0]
+    trace = air.generate_trace([(rand_fq(), rand_fq()) for _ in range(250)])
+    single = prove(air, jnp.asarray(trace), np.zeros(0, dtype=np.uint64), CFG)
+    independent_bytes = N_STMTS * nbytes(single)
+    assert batch_bytes < independent_bytes
