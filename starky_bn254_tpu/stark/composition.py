@@ -385,8 +385,10 @@ def evaluate_composition(
     sync = trace_lde.size > (1 << 27)
     out_blocks = []
     for r0 in range(0, n_lde, B):
-        tb = _block_rows(trace_lde, r0, B + pad, n_lde)
-        zb = _block_rows(z_lde, r0, B + pad, n_lde)
+        # one explicit H2D per block: host-offloaded LDEs (numpy) would
+        # otherwise re-transfer for every segment call below
+        tb = jnp.asarray(_block_rows(trace_lde, r0, B + pad, n_lde))
+        zb = jnp.asarray(_block_rows(z_lde, r0, B + pad, n_lde))
         acc = jnp.zeros((nc, B), dtype=jnp.uint64)
         args = (
             tb,

@@ -139,8 +139,13 @@ def fri_prove(
     # eager round trips over the TPU tunnel (measured: it dominated the
     # whole prove at ~60s for 84 queries).
     with tt.scope("query extraction"):
-        idx_arr = jnp.asarray(np.array(indices, dtype=np.int64))
-        init_leaves_all = [np.asarray(mat[idx_arr]) for _, mat in oracles]
+        idx_np = np.array(indices, dtype=np.int64)
+        idx_arr = jnp.asarray(idx_np)
+        # host-offloaded LDEs (numpy) gather on the host; device mats on device
+        init_leaves_all = [
+            mat[idx_np] if isinstance(mat, np.ndarray) else np.asarray(mat[idx_arr])
+            for _, mat in oracles
+        ]
         init_paths_all = [np.asarray(tree.prove_batch(idx_arr)) for tree, _ in oracles]
         layer_leaves_all, layer_paths_all = [], []
         cur = idx_arr

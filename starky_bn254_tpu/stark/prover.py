@@ -83,16 +83,34 @@ def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
 
     n, num_cols = values.shape
     n_lde = n << cfg.fri.rate_bits
-    # blocks of whole RATE-chunks so absorption chains exactly
-    cells = int(os.environ.get("STARKY_COMMIT_BLOCK_CELLS", 1 << 27))
+    # blocks of whole RATE-chunks so absorption chains exactly.
+    # Default 2^26 cells (was 2^27): the Pallas four-step NTT keeps ~3 full
+    # u32-pair copies of a block's LDE live at once, and the 2^19-row G1
+    # aux commit (390 cols; trace LDE + aux LDE = 6.2 GB retained) OOM'd the
+    # 16 GB chip with 128-col blocks. Halving the block halves the NTT
+    # transients at the cost of ~2x more (cheap) kernel launches.
+    cells = int(os.environ.get("STARKY_COMMIT_BLOCK_CELLS", 1 << 26))
     block_cols = max((cells // n_lde) // poseidon.RATE * poseidon.RATE, poseidon.RATE)
+    # LDEs past this size are kept in HOST memory (the 2^20-row G1 target
+    # retains trace 6.3 GB + aux 6.1 GB of LDE — together they cannot live
+    # in a 16 GB chip's HBM next to the commit transients). Every
+    # downstream consumer already reads the LDE in bounded blocks/chunks
+    # (composition row blocks, opening matvec chunks, barycentric eval
+    # chunks, 84-row query gathers), so a host-resident LDE costs one
+    # re-upload of each cell it touches and zero algorithm changes.
+    offload = n_lde * num_cols * 8 > int(
+        os.environ.get("STARKY_LDE_HOST_BYTES", 4 << 30)
+    )
     state = jnp.zeros((n_lde, poseidon.WIDTH), dtype=jnp.uint64)
     # preallocate the output ONCE (before block churn fragments the
     # allocator) and write each block in place via a donated
     # dynamic_update_slice — a final concatenate needs a second full-size
     # contiguous buffer exactly when fragmentation makes one unavailable
-    lde = jnp.zeros((n_lde, num_cols), dtype=jnp.uint64)
-    jax.block_until_ready(lde)
+    if offload:
+        lde = np.empty((n_lde, num_cols), dtype=np.uint64)
+    else:
+        lde = jnp.zeros((n_lde, num_cols), dtype=jnp.uint64)
+        jax.block_until_ready(lde)
     for off in range(0, num_cols, block_cols):
         blk = values[:, off : off + block_cols]
         coeffs = ntt.interpolate_coeffs(blk)
@@ -100,7 +118,10 @@ def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
         lde_b = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
         del coeffs
         jax.block_until_ready(lde_b)
-        lde = _write_cols(lde, lde_b, jnp.int32(off))
+        if offload:
+            lde[:, off : off + lde_b.shape[1]] = np.asarray(lde_b)
+        else:
+            lde = _write_cols(lde, lde_b, jnp.int32(off))
         absorb = lde_b
         if absorb.shape[1] % poseidon.RATE:  # final partial block: zero-pad
             pad = poseidon.RATE - absorb.shape[1] % poseidon.RATE
@@ -109,7 +130,8 @@ def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
         state = poseidon.sponge_absorb(state, absorb)
         del absorb
         jax.block_until_ready(state)
-        jax.block_until_ready(lde)
+        if not offload:
+            jax.block_until_ready(lde)
     del values  # last reference when called via the 1-list ownership form
     digests = state[:, :4]
     del state
