@@ -289,3 +289,50 @@ def verify_hash_to_g2(msg: bytes, proof, result, air, cfg=None) -> bool:
         return False
     # subgroup sanity: result must be r-torsion
     return bn254.g2_mul(result, bn254.R_BN) is None
+
+
+def prove_fq_multiexp(xs, exps, cfg=None, range_check="auto", io_binding="auto"):
+    """One-call Fq multi-exponentiation proof prod(x_i^e_i) by multiplicative
+    offset chaining (the Fq analogue of the reference's fq_exp_circuit
+    composition, src/fields/fq/circuit.rs:240-282): returns
+    (proof, result_fq, air, n_real). Verify with `verify_fq_multiexp`."""
+    import jax.numpy as jnp
+
+    from ..airs.fq_exp import FQ_EXP_IO_LEN, FqExpAir
+    from ..stark import StarkConfig, prove
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    assert len(xs) == len(exps) >= 1
+    inputs = []
+    offset = 1
+    for x, e in zip(xs, exps):
+        inputs.append((x, offset, e))
+        offset = offset * pow(x, e, bn254.P_BN) % bn254.P_BN
+    result = offset
+    n_real = len(inputs)
+    inputs = pad_instances(inputs)
+    air = FqExpAir(len(inputs), range_check=range_check, io_binding=io_binding)
+    trace, pi = air.generate_trace_and_pi(inputs)
+    proof = prove(air, jnp.asarray(trace), pi, cfg)
+    return proof, result, air, n_real
+
+
+def verify_fq_multiexp(proof, result: int, air, n_real: int, cfg=None) -> bool:
+    from ..airs.fq_exp import FQ_EXP_IO_LEN
+    from ..stark import StarkConfig, verify
+
+    cfg = cfg or StarkConfig.standard_fast_config()
+    if not verify(air, proof, cfg):
+        return False
+    pi = proof.public_inputs
+
+    def fq_at(i, which):  # 0=x, 1=offset, 3=output (8 u32 limbs each)
+        base = FQ_EXP_IO_LEN * i + {0: 0, 1: 8, 3: 24}[which]
+        return _u32s(pi, base)
+
+    if fq_at(0, 1) != 1:
+        return False
+    for i in range(1, n_real):
+        if fq_at(i, 1) != fq_at(i - 1, 3):
+            return False
+    return fq_at(n_real - 1, 3) == result

@@ -1,6 +1,8 @@
 """Generic STARK engine: AIR interface, prover, verifier, FRI, config."""
 
 from .air import Air
+from .batch_prove import BatchStarkProof, prove_batch_fri, verify_batch_fri
+from .batch_verify import BatchItem, BatchResult, verify_batch
 from .config import FriConfig, StarkConfig
 from .proof import StarkProof, load_proof, save_proof
 from .prover import prove
@@ -16,4 +18,10 @@ __all__ = [
     "prove",
     "verify",
     "VerificationError",
+    "BatchStarkProof",
+    "prove_batch_fri",
+    "verify_batch_fri",
+    "BatchItem",
+    "BatchResult",
+    "verify_batch",
 ]
