@@ -76,6 +76,10 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         and not os.environ.get("STARKY_NO_PALLAS")
         and not os.environ.get("STARKY_NO_PALLAS_NTT")
     ):
+        from . import pallas as _pallas
+
+        if _pallas.xla_only_active():
+            return _ntt_xla(values, inverse)
         from .pallas import ntt_kernel as _nk
 
         if _nk.available() and _nk.self_test_ok():

@@ -14,7 +14,9 @@ the XLA path (bit-identical results either way — both produce canonical
 Goldilocks residues).
 """
 
+import contextlib as _contextlib
 import sys as _sys
+import threading as _threading
 
 # Mosaic lowers long straight-line kernel bodies recursively; a 30-round
 # permutation chain exceeds CPython's default 1000-frame limit.
@@ -22,3 +24,27 @@ if _sys.getrecursionlimit() < 20_000:
     _sys.setrecursionlimit(20_000)
 
 from . import u64ops  # noqa: F401
+
+_local = _threading.local()
+
+
+def xla_only_active() -> bool:
+    """True while tracing a region that must not dispatch Pallas kernels."""
+    return getattr(_local, "xla_only", 0) > 0
+
+
+@_contextlib.contextmanager
+def xla_only():
+    """Disable Pallas dispatch for code traced inside this context.
+
+    Needed around `jax.shard_map` bodies: `pallas_call`'s output
+    ShapeDtypeStructs carry no `vma` annotation, which shard_map's
+    check_vma rejects outright — and the sharded pipeline's correctness
+    contract is bit-identity with the single-chip XLA path anyway.
+    Per-shard Pallas dispatch on a real TPU mesh is a future optimization
+    (it needs vma-annotated out_shapes)."""
+    _local.xla_only = getattr(_local, "xla_only", 0) + 1
+    try:
+        yield
+    finally:
+        _local.xla_only -= 1

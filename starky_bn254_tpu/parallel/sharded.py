@@ -34,6 +34,15 @@ from .. import ntt, poseidon
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        # the default platform (e.g. one tunneled TPU chip) is smaller than
+        # the requested mesh: fall back to the virtual CPU devices
+        # (--xla_force_host_platform_device_count), the multi-chip dry-run
+        # substrate in this single-chip environment.
+        try:
+            devs = jax.local_devices(backend="cpu")
+        except RuntimeError:
+            pass
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
@@ -82,7 +91,10 @@ def sharded_commit(mesh: Mesh, values: jnp.ndarray, rate_bits: int, cap_height: 
         digests = poseidon.hash_or_noop(rows)  # [N/d, 4]
         return rows, digests
 
-    lde_rows, leaf_digests = commit_local(values)
+    from .. import pallas as _pallas
+
+    with _pallas.xla_only():  # pallas_call can't trace under shard_map
+        lde_rows, leaf_digests = commit_local(values)
 
     # finish the tree: local subtrees then replicated top
     levels = _tree_levels(mesh, leaf_digests, cap_height, big_n)
@@ -166,7 +178,10 @@ def sharded_commit_tree(mesh: Mesh, values, cfg):
         digests = poseidon.hash_or_noop(rows)
         return rows, digests
 
-    lde_rows, digests = commit_local(values)
+    from .. import pallas as _pallas
+
+    with _pallas.xla_only():  # pallas_call can't trace under shard_map
+        lde_rows, digests = commit_local(values)
     cap_h = min(cfg.fri.cap_height, big_n.bit_length() - 1)
     levels = [digests] + list(merkle._upper_levels(digests, cap_h))
     return Commitment(

@@ -193,6 +193,12 @@ import jax
 permute = jax.jit(_permute_impl)
 
 
+def _pallas_disabled() -> bool:
+    from . import pallas as _pallas
+
+    return _pallas.xla_only_active()
+
+
 def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
     """Fixed-length overwrite-mode sponge: [..., n] -> [..., 4] digest.
 
@@ -208,6 +214,7 @@ def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
         and inputs.shape[0] % _PALLAS_TILE == 0
         and not os.environ.get("STARKY_NO_PALLAS")
         and not os.environ.get("STARKY_NO_PALLAS_SPONGE")
+        and not _pallas_disabled()
     ):
         from .pallas import poseidon_kernel as _pk
 
@@ -298,6 +305,7 @@ def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
         and state.shape[0] % _PALLAS_TILE == 0
         and not os.environ.get("STARKY_NO_PALLAS")
         and not os.environ.get("STARKY_NO_PALLAS_SPONGE")
+        and not _pallas_disabled()
     ):
         from .pallas import poseidon_kernel as _pk
 
