@@ -33,6 +33,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _mark(msg: str) -> None:
+    """Progress marker on stderr: a killed/timed-out bench still leaves
+    evidence of the phase it reached (round-2's empty rc=124 lesson)."""
+    sys.stderr.write(f"[bench +{time.time() - _T0:7.1f}s] {msg}\n")
+    sys.stderr.flush()
+
+
+_T0 = time.time()
+
+
 def full_bench() -> int:
     """Runs the full prove/verify benchmark; prints the JSON line."""
     import numpy as np
@@ -76,8 +86,10 @@ def full_bench() -> int:
             return int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
 
         inputs = [(rand_fq(), rand_fq(), rand_scalar()) for _ in range(num_io)]
+    _mark(f"tracegen start: num_io={num_io} air={air_kind}")
     trace, pi = air.generate_trace_and_pi(inputs)
     t_tracegen = time.time() - t0
+    _mark(f"tracegen done {trace.shape} in {t_tracegen:.1f}s")
     # warm tracegen (one-time inverse tables / native-lib load amortized):
     # this is the steady-state witness cost a proving service pays per proof
     t0 = time.time()
@@ -107,14 +119,17 @@ def full_bench() -> int:
     trace_dev = jnp.asarray(trace)
     jax.block_until_ready(trace_dev)
 
+    _mark("first prove (cold compiles) start")
     t0 = time.time()
     proof = prove(air, trace_dev, pi, cfg)
     t_first = time.time() - t0
+    _mark(f"first prove done in {t_first:.1f}s")
 
     tt = TimingTree("prove", sync=True)
     t0 = time.time()
     proof = prove(air, trace_dev, pi, cfg, timing=tt)
     t_prove = time.time() - t0
+    _mark(f"warm prove done in {t_prove:.1f}s")
 
     t0 = time.time()
     assert verify(air, proof, cfg)
