@@ -180,3 +180,18 @@ def test_fixture_bytes_roundtrip(fixture_proof):
 
     blob = proof_to_bytes(fixture_proof)
     assert proof_to_bytes(proof_from_bytes(blob)) == blob
+
+
+def test_pallas_xla_only_guard():
+    """The xla_only() context must disable Pallas dispatch (used around
+    shard_map bodies, where pallas_call's un-annotated out_shapes trip
+    check_vma) and restore it on exit, including nested use."""
+    from starky_bn254_tpu import pallas
+
+    assert not pallas.xla_only_active()
+    with pallas.xla_only():
+        assert pallas.xla_only_active()
+        with pallas.xla_only():
+            assert pallas.xla_only_active()
+        assert pallas.xla_only_active()
+    assert not pallas.xla_only_active()
