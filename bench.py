@@ -199,13 +199,18 @@ def commit_bench():
         tree = merkle.build_merkle_tree(lde, 4)
         return tree.cap
 
-    cap = commit(trace)
-    jax.block_until_ready(cap)
+    def sync(x):
+        # jax.block_until_ready does NOT actually wait over the axon tunnel;
+        # only a host readback forces completion (same trick as
+        # scripts/bench_kernels.py). Without it this tier once recorded a
+        # 0.6 ms "commit" (5.5e9 cells/s) — pure dispatch time.
+        return np.asarray(x)[0, 0]
+
+    sync(commit(trace))
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        cap = commit(trace)
-        jax.block_until_ready(cap)
+        sync(commit(trace))
     dt = (time.time() - t0) / reps
     cells_per_s = n * cols / dt
     print(
@@ -252,29 +257,40 @@ def _run_child(mode_env: str, budget: int, force_cpu: bool = False) -> bool:
     if force_cpu:
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            timeout=budget,
-            capture_output=True,
-            text=True,
-        )
-        if '"metric"' in r.stdout:
-            for line in r.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    try:  # persist as the next round's last-known-good
-                        rec = json.loads(line)
-                        rec.setdefault("detail", {})["recorded_at"] = time.time()
-                        with open(_LAST_GOOD, "w") as f:
-                            json.dump(rec, f)
-                    except Exception:
-                        pass
-                    return True
-        sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(f"bench child ({mode_env}) exceeded {budget}s\n")
+    import tempfile
+
+    # child stderr goes to a FILE so the progress markers survive a timeout
+    # kill (capture_output discards them exactly when they matter most)
+    with tempfile.NamedTemporaryFile("w+", suffix=".err") as errf:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                timeout=budget,
+                stdout=subprocess.PIPE,
+                stderr=errf,
+                text=True,
+            )
+            if '"metric"' in r.stdout:
+                for line in r.stdout.splitlines():
+                    if line.startswith("{"):
+                        print(line)
+                        try:  # persist as the next round's last-known-good
+                            rec = json.loads(line)
+                            rec.setdefault("detail", {})["recorded_at"] = time.time()
+                            with open(_LAST_GOOD, "w") as f:
+                                json.dump(rec, f)
+                        except Exception:
+                            pass
+                        return True
+            errf.seek(0)
+            sys.stderr.write(r.stdout[-2000:] + errf.read()[-2000:])
+        except subprocess.TimeoutExpired:
+            errf.seek(0)
+            sys.stderr.write(
+                f"bench child ({mode_env}) exceeded {budget}s; its last "
+                f"markers:\n{errf.read()[-2000:]}\n"
+            )
     return False
 
 
@@ -293,11 +309,15 @@ def main():
     def left(reserve: int = 0) -> int:
         return int(deadline - time.time()) - reserve
 
-    # full prove on the default platform, reserving 420 s for fallbacks
-    if _run_child("full", left(420)):
+    # full prove on the default platform. Reserve only 150 s for fallbacks:
+    # the commit tier is fast when its graphs are cached and the
+    # last-known-good emission is instant — while the full tier's fresh-
+    # process cost on the tunneled TPU (executable cache loads) is large
+    # enough that a 420 s reserve once starved it 40 s short of finishing.
+    if _run_child("full", left(150)):
         return
     sys.stderr.write("falling back to commit-throughput bench\n")
-    if _run_child("commit", min(left(60), 900)):
+    if _run_child("commit", min(left(60), 600)):
         return
     # TPU tunnel unreachable (observed multi-hour UNAVAILABLE outages):
     # a CPU full-pipeline number beats a zero record; detail.device marks it
