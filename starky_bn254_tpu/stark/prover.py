@@ -364,20 +364,24 @@ def prove(
         gammas = challenger.get_n_challenges(nc)
         with tt.scope("aux (Z/logup) commit"):
             parts = []
-            if pairs:
-                parts.append(compute_z_columns(trace, pairs, gammas))
-            if tables:
-                from .logup import compute_logup_columns
+            with tt.scope("column build"):  # nests under the aux scope
+                if pairs:
+                    parts.append(compute_z_columns(trace, pairs, gammas))
+                if tables:
+                    from .logup import compute_logup_columns
 
-                parts.append(compute_logup_columns(trace, tables, gammas))
-            if extra_w:
-                parts.append(jnp.asarray(air.generate_aux(np.asarray(trace), gammas)))
-            z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+                    parts.append(compute_logup_columns(trace, tables, gammas))
+                if extra_w:
+                    parts.append(
+                        jnp.asarray(air.generate_aux(np.asarray(trace), gammas))
+                    )
+                z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             del parts
             trace = None  # aux columns are built; composition reads trace_c.lde
             holder = [z_cols]
             del z_cols  # ownership moves into commit: freed before its concat
-            z_c = _commit(holder)
+            with tt.scope("commit"):
+                z_c = _commit(holder)
         challenger.observe_cap(np.asarray(z_c.tree.cap))
 
     # 3. constraint composition -> quotient chunks
