@@ -141,20 +141,35 @@ def fri_prove(
     with tt.scope("query extraction"):
         idx_np = np.array(indices, dtype=np.int64)
         idx_arr = jnp.asarray(idx_np)
-        # host-offloaded LDEs (numpy) gather on the host; device mats on device
+        # host-offloaded LDEs (numpy) gather on the host; everything else
+        # (device leaf gathers, every Merkle sibling path, every fold-layer
+        # quad) runs as ONE jitted program with ONE readback — the per-
+        # (oracle|layer) dispatches cost ~600 ms of tunnel round trips at
+        # the num_io=128 shape, ~14 dispatch+readback pairs at ~40 ms each
+        host_leaves = {
+            o: mat[idx_np]
+            for o, (_, mat) in enumerate(oracles)
+            if isinstance(mat, np.ndarray)
+        }
+        dev_mats = tuple(
+            mat for _, mat in oracles if not isinstance(mat, np.ndarray)
+        )
+        dev_leaves, init_paths_all, layer_leaves_all, layer_paths_all = (
+            jax.device_get(
+                _extract_queries(
+                    idx_arr,
+                    dev_mats,
+                    tuple(tuple(tree.levels[:-1]) for tree, _ in oracles),
+                    tuple(layer_pairs),
+                    tuple(tuple(t.levels[:-1]) for t in layer_trees),
+                )
+            )
+        )
+        dev_iter = iter(dev_leaves)
         init_leaves_all = [
-            mat[idx_np] if isinstance(mat, np.ndarray) else np.asarray(mat[idx_arr])
-            for _, mat in oracles
+            host_leaves[o] if o in host_leaves else next(dev_iter)
+            for o in range(len(oracles))
         ]
-        init_paths_all = [np.asarray(tree.prove_batch(idx_arr)) for tree, _ in oracles]
-        layer_leaves_all, layer_paths_all = [], []
-        cur = idx_arr
-        for tree, pairs in zip(layer_trees, layer_pairs):
-            half = pairs.shape[0]
-            j = cur % half
-            layer_leaves_all.append(np.asarray(pairs[j]))
-            layer_paths_all.append(np.asarray(tree.prove_batch(j)))
-            cur = j
         query_rounds = []
         for q in range(len(indices)):
             query_rounds.append(
@@ -172,6 +187,33 @@ def fri_prove(
         pow_nonce=nonce,
         query_rounds=query_rounds,
     )
+
+
+@jax.jit
+def _extract_queries(idx, dev_mats, init_levels, layer_pairs, fold_levels):
+    """Every query-phase gather — initial-oracle leaves, initial Merkle
+    sibling paths, per-fold-layer quad leaves and their paths — in one
+    program (tuples are pytrees; per-layer shapes stay static)."""
+
+    def paths(ix, levels):
+        if not levels:
+            return jnp.zeros((idx.shape[0], 0, 4), dtype=jnp.uint64)
+        sibs = []
+        for level in levels:
+            sibs.append(level[ix ^ 1])  # [Q, 4]
+            ix = ix >> 1
+        return jnp.stack(sibs, axis=1)
+
+    leaves = tuple(m[idx] for m in dev_mats)
+    init_paths = tuple(paths(idx, lv) for lv in init_levels)
+    cur = idx
+    layer_leaves, layer_paths = [], []
+    for pairs, levels in zip(layer_pairs, fold_levels):
+        j = cur % pairs.shape[0]
+        layer_leaves.append(pairs[j])
+        layer_paths.append(paths(j, levels))
+        cur = j
+    return leaves, init_paths, tuple(layer_leaves), tuple(layer_paths)
 
 
 def _dft4_terms(v0, v1, v2, v3):
