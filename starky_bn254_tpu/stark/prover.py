@@ -16,6 +16,7 @@ device computation; the host only sequences Fiat-Shamir.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -49,15 +50,15 @@ class Commitment:
 _SYNC_CELLS = 1 << 27
 
 
-def commit(values, cfg: StarkConfig) -> Commitment:
+def commit(values, cfg: StarkConfig, offload: bool | None = None) -> Commitment:
     # A 1-element list transfers ownership: commit pops the array so the
     # caller's reference dies and the source can be freed before the LDE
     # concat (matters at multi-GB commitment widths).
     if isinstance(values, list):
         assert len(values) == 1
         values = values.pop()
-    if values.size > _SYNC_CELLS:
-        return _commit_streaming(values, cfg)
+    if values.size > _SYNC_CELLS or offload:
+        return _commit_streaming(values, cfg, offload)
     coeffs = ntt.interpolate_coeffs(values)
     lde = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
     del coeffs
@@ -70,7 +71,9 @@ def commit(values, cfg: StarkConfig) -> Commitment:
     return Commitment(lde, tree)
 
 
-def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
+def _commit_streaming(
+    values: jnp.ndarray, cfg: StarkConfig, offload: bool | None = None
+) -> Commitment:
     """Column-blocked commit for matrices whose single-graph INTT/LDE/tree
     programs exceed HBM (the [2^19-row, 404-col] G1 commit OOM'd even though
     its retained arrays are a fraction of the chip's memory: XLA's per-
@@ -98,9 +101,12 @@ def _commit_streaming(values: jnp.ndarray, cfg: StarkConfig) -> Commitment:
     # (composition row blocks, opening matvec chunks, barycentric eval
     # chunks, 84-row query gathers), so a host-resident LDE costs one
     # re-upload of each cell it touches and zero algorithm changes.
-    offload = n_lde * num_cols * 8 > int(
-        os.environ.get("STARKY_LDE_HOST_BYTES", 4 << 30)
-    )
+    if offload is None:  # per-matrix rule; prove() forces True when the
+        # SUM of a prove's retained LDEs exceeds the device budget (two
+        # 3.3 GB LDEs each under this threshold still OOM'd a 2^19 run)
+        offload = n_lde * num_cols * 8 > int(
+            os.environ.get("STARKY_LDE_HOST_BYTES", 4 << 30)
+        )
     state = jnp.zeros((n_lde, poseidon.WIDTH), dtype=jnp.uint64)
     # preallocate the output ONCE (before block churn fragments the
     # allocator) and write each block in place via a donated
@@ -336,8 +342,34 @@ def prove(
         def _commit(values):
             return sharded_commit_tree(mesh, values, cfg)
     else:
+        # The offload decision must see the PROVE's total retained LDE
+        # footprint, not each matrix alone: at 2^19 rows the G1 trace and
+        # aux LDEs are 3.4 GB + 3.3 GB — each under the per-matrix host-
+        # offload threshold, together (plus the Pallas NTT's u32-pair
+        # transients) a 16 GB chip OOM (observed twice). When the summed
+        # trace+aux+quotient LDE bytes exceed the device budget, every
+        # streaming-path commit keeps its LDE in host memory.
+        from .logup import table_aux_width
+
+        _aux_w = cfg.num_challenges * (
+            len(air.permutation_pairs())
+            + table_aux_width(air.lookup_tables())
+            + air.aux_extra_width()
+        )
+        _total_lde_bytes = (
+            (trace.shape[0] << cfg.fri.rate_bits)
+            * (air.num_columns + _aux_w + cfg.num_challenges * QUOTIENT_CHUNKS)
+            * 8
+        )
+        # 6 GiB default: the 16 GB chip must also hold the Pallas NTT's
+        # u32-pair block transients, per-program temp reservations and the
+        # composition/opening working sets next to the retained LDEs
+        _force_offload = _total_lde_bytes > int(
+            os.environ.get("STARKY_LDE_DEVICE_BYTES", 6 << 30)
+        )
+
         def _commit(values):
-            return commit(values, cfg)
+            return commit(values, cfg, offload=_force_offload or None)
 
     n, num_cols = trace.shape
     assert num_cols == air.num_columns, (num_cols, air.num_columns)
