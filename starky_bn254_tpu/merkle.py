@@ -124,8 +124,11 @@ def build_merkle_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
     for i in range(0, n, row_block):
         d = _leaf_digests(leaves[i : i + row_block])
         # sync per block: unbounded async enqueue reserves every block
-        # program's temp buffers at once (see stark/prover.py _SYNC_CELLS)
-        jax.block_until_ready(d)
+        # program's temp buffers at once (see stark/prover.py _SYNC_CELLS;
+        # hard_sync because block_until_ready does not wait over the tunnel)
+        from .xnp import hard_sync
+
+        hard_sync(d)
         parts.append(d)
     digests = jnp.concatenate(parts)
     levels = [digests] + list(_upper_levels(digests, cap_height))

@@ -298,7 +298,9 @@ def eval_from_lde(
     parts = []
     for c0 in range(0, cols, chunk):
         part = _eval_from_lde_impl(lde[:, c0 : c0 + chunk], w, factor_arr)
-        _jax.block_until_ready(part)
+        from .xnp import hard_sync
+
+        hard_sync(part)
         parts.append(part)
     return jnp.concatenate(parts, axis=0)
 

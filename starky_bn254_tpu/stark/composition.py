@@ -407,8 +407,11 @@ def evaluate_composition(
         if sync:
             # bound concurrent per-program temp reservations (async dispatch
             # otherwise enqueues every block's programs at once; see the
-            # _SYNC_CELLS note in prover.py)
-            jax.block_until_ready(out)
+            # hard_sync note in prover.py — a plain block_until_ready does
+            # not actually wait over the tunneled-TPU transport)
+            from .prover import hard_sync
+
+            hard_sync(out)
         out_blocks.append(out)
     if len(out_blocks) == 1:
         return out_blocks[0]

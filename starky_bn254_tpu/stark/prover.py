@@ -50,6 +50,9 @@ class Commitment:
 _SYNC_CELLS = 1 << 27
 
 
+from ..xnp import hard_sync  # noqa: E402  (barrier that actually waits)
+
+
 def commit(values, cfg: StarkConfig, offload: bool | None = None) -> Commitment:
     # A 1-element list transfers ownership: commit pops the array so the
     # caller's reference dies and the source can be freed before the LDE
@@ -120,10 +123,10 @@ def _commit_streaming(
     for off in range(0, num_cols, block_cols):
         blk = values[:, off : off + block_cols]
         coeffs = ntt.interpolate_coeffs(blk)
-        jax.block_until_ready(coeffs)
+        hard_sync(coeffs)
         lde_b = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
         del coeffs
-        jax.block_until_ready(lde_b)
+        hard_sync(lde_b)
         if offload:
             lde[:, off : off + lde_b.shape[1]] = np.asarray(lde_b)
         else:
@@ -135,9 +138,9 @@ def _commit_streaming(
         del lde_b
         state = poseidon.sponge_absorb(state, absorb)
         del absorb
-        jax.block_until_ready(state)
+        hard_sync(state)
         if not offload:
-            jax.block_until_ready(lde)
+            hard_sync(lde)
     del values  # last reference when called via the 1-list ownership form
     digests = state[:, :4]
     del state
@@ -602,7 +605,7 @@ def _batch_opening_poly(
                     s0, s1, m[:, c0 : min(c0 + chunk, k)], wk[:, 0], wk[:, 1]
                 )
                 if sync:
-                    jax.block_until_ready(s0)
+                    hard_sync(s0)
             c_acc = gl.ext_add(c_acc, _ext_dot(w[off : off + k], np.asarray(y)))
             off += k
         return _group_finish(s0, s1, jnp.asarray(c_acc), inv_den), total

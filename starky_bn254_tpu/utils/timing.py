@@ -39,9 +39,13 @@ class TimingTree:
         if self._sync:
             import jax.numpy as jnp
 
+            from ..xnp import hard_sync
+
             # device streams execute in-order: a trivial op enqueued now
             # completes only after everything dispatched before it
-            jnp.zeros((), dtype=jnp.uint32).block_until_ready()
+            # (hard_sync: block_until_ready alone does not actually wait
+            # over the tunneled-TPU transport)
+            hard_sync(jnp.zeros((1,), dtype=jnp.uint32))
 
     @contextmanager
     def scope(self, name: str):

@@ -40,6 +40,27 @@ int32 = _np.int32
 ndarray = _jnp.ndarray  # annotation alias (covers the device case)
 
 
+import os as _os
+
+
+def hard_sync(x) -> None:
+    """A device barrier that actually waits. jax.block_until_ready returns
+    as soon as the tunneled-TPU transport ACKs the enqueue — it does NOT
+    wait for execution. The streaming commit, Merkle leaf-block, opening
+    matvec and block-composition loops use the barrier to bound how many
+    blocks' program temps coexist on the chip; over the tunnel the no-op
+    barrier let every block enqueue at once and OOM'd the 2^19 north-star
+    runs. A one-element dependent readback forces real completion (device
+    streams execute in-order). On local backends the plain barrier is
+    cheaper and sufficient."""
+    if isinstance(x, _np.ndarray):
+        return
+    if _os.environ.get("PALLAS_AXON_POOL_IPS"):
+        _np.asarray(_jnp.reshape(x, (-1,))[:1])
+    else:
+        jax.block_until_ready(x)
+
+
 def _any_jax(args) -> bool:
     for a in args:
         if isinstance(a, jax.Array):
