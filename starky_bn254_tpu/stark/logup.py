@@ -108,8 +108,13 @@ def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.
                 del inv_c
                 if big:
                     # bound concurrent program temp reservations (the deep
-                    # Fermat-chain graphs are queued per chunk otherwise)
-                    jax.block_until_ready(h_chunks[-1])
+                    # Fermat-chain graphs are queued per chunk otherwise;
+                    # hard_sync because block_until_ready does not actually
+                    # wait over the tunneled TPU — the queued inversion
+                    # programs' temps coexisted and OOM'd the 2^19 runs)
+                    from ..xnp import hard_sync
+
+                    hard_sync(h_chunks[-1])
             h_mat = h_chunks[0] if len(h_chunks) == 1 else jnp.concatenate(
                 h_chunks, axis=1
             )

@@ -411,6 +411,10 @@ def prove(
                         jnp.asarray(air.generate_aux(np.asarray(trace), gammas))
                     )
                 z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+                if z_cols.size > _SYNC_CELLS:
+                    # drain the column-build programs before the commit
+                    # blocks enqueue (bounds coexisting program temps)
+                    hard_sync(z_cols)
             del parts
             trace = None  # aux columns are built; composition reads trace_c.lde
             holder = [z_cols]
