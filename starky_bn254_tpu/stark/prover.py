@@ -342,7 +342,7 @@ def prove(
     if mesh is not None:
         from ..parallel.sharded import sharded_commit_tree
 
-        def _commit(values):
+        def _commit(values, from_host: bool = False):
             return sharded_commit_tree(mesh, values, cfg)
     else:
         # The offload decision must see the PROVE's total retained LDE
@@ -371,7 +371,17 @@ def prove(
             os.environ.get("STARKY_LDE_DEVICE_BYTES", 6 << 30)
         )
 
-        def _commit(values):
+        def _commit(values, from_host: bool = False):
+            if from_host and _force_offload and not isinstance(values[0], np.ndarray):
+                # North-star scale: move the source columns to HOST before
+                # the streaming commit. The remote pool releases freed
+                # device buffers asynchronously, so right after the trace
+                # commit + aux column build there is less headroom than the
+                # live set suggests — committing from host bounds the
+                # commit's device footprint to one block's transients
+                # (observed: the 2^19 aux commit OOM'd in-prove while the
+                # identical standalone commit succeeded).
+                values = [np.asarray(values.pop())]
             return commit(values, cfg, offload=_force_offload or None)
 
     n, num_cols = trace.shape
@@ -420,7 +430,7 @@ def prove(
             holder = [z_cols]
             del z_cols  # ownership moves into commit: freed before its concat
             with tt.scope("commit"):
-                z_c = _commit(holder)
+                z_c = _commit(holder, from_host=True)
         challenger.observe_cap(np.asarray(z_c.tree.cap))
 
     # 3. constraint composition -> quotient chunks
