@@ -163,6 +163,20 @@ import jax as _jax
 
 
 @_functools.partial(_jax.jit, static_argnames=("rate_bits", "shift"))
+def _lde_scale_pad(
+    coeffs: jnp.ndarray, rate_bits: int, shift: int
+) -> jnp.ndarray:
+    """Shift-scale coefficients and zero-pad to the LDE length (the part of
+    lde_from_coeffs that is safe to jit-cache: the NTT itself dispatches
+    OUTSIDE any jit so the Pallas-vs-XLA choice is made per call, never
+    baked into a cached trace — ADVICE r3)."""
+    n, cols = coeffs.shape
+    big_n = n << rate_bits
+    powers = _shift_powers(shift, n)
+    scaled = gl.mul(coeffs, jnp.asarray(powers)[:, None])
+    return jnp.zeros((big_n, cols), dtype=jnp.uint64).at[:n].set(scaled)
+
+
 def lde_from_coeffs(
     coeffs: jnp.ndarray, rate_bits: int, shift: int = gl.GENERATOR
 ) -> jnp.ndarray:
@@ -173,13 +187,24 @@ def lde_from_coeffs(
     squeeze = coeffs.ndim == 1
     if squeeze:
         coeffs = coeffs[:, None]
+    if isinstance(coeffs, _jax.core.Tracer):
+        # called inside someone else's trace (e.g. a shard_map body): keep
+        # everything in that trace; ntt() sees the tracer and its guards
+        # (xla_only) decide the engine at the caller's trace time.
+        out = ntt(
+            _lde_scale_pad_traced(coeffs, rate_bits, shift), inverse=False
+        )
+    else:
+        out = ntt(_lde_scale_pad(coeffs, rate_bits, shift), inverse=False)
+    return out[:, 0] if squeeze else out
+
+
+def _lde_scale_pad_traced(coeffs, rate_bits: int, shift: int):
     n, cols = coeffs.shape
     big_n = n << rate_bits
     powers = _shift_powers(shift, n)
     scaled = gl.mul(coeffs, jnp.asarray(powers)[:, None])
-    padded = jnp.zeros((big_n, cols), dtype=jnp.uint64).at[:n].set(scaled)
-    out = ntt(padded, inverse=False)
-    return out[:, 0] if squeeze else out
+    return jnp.zeros((big_n, cols), dtype=jnp.uint64).at[:n].set(scaled)
 
 
 @functools.lru_cache(maxsize=None)

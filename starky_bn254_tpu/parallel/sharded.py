@@ -34,6 +34,7 @@ from .. import ntt, poseidon
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     devs = jax.devices()
+    fell_back = False
     if n_devices is not None and len(devs) < n_devices:
         # the default platform (e.g. one tunneled TPU chip) is smaller than
         # the requested mesh: fall back to the virtual CPU devices
@@ -41,10 +42,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
         # substrate in this single-chip environment.
         try:
             devs = jax.local_devices(backend="cpu")
+            fell_back = True
         except RuntimeError:
             pass
     if n_devices is not None:
         devs = devs[:n_devices]
+        if len(devs) < n_devices:
+            # never hand back a silently-shrunken mesh (ADVICE r3): a prove
+            # "across 8 chips" quietly running on 2 is a correctness-of-
+            # deployment bug, not a fallback.
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devs)} devices available "
+                f"(default platform + cpu fallback); set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                f"for a virtual mesh or request a smaller one"
+            )
+        if fell_back:
+            import warnings
+
+            warnings.warn(
+                f"make_mesh({n_devices}): default platform has fewer devices; "
+                f"using {len(devs)} virtual CPU devices (dry-run substrate)",
+                stacklevel=2,
+            )
     return Mesh(np.array(devs), (axis,))
 
 

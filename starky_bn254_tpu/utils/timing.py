@@ -34,18 +34,24 @@ class TimingTree:
         self._stack = [self.root]
         self._t0 = time.time()
         self._sync = sync
+        self._seq = 0
 
     def _barrier(self):
         if self._sync:
             import jax.numpy as jnp
+            import numpy as np
 
             from ..xnp import hard_sync
 
             # device streams execute in-order: a trivial op enqueued now
             # completes only after everything dispatched before it
             # (hard_sync: block_until_ready alone does not actually wait
-            # over the tunneled-TPU transport)
-            hard_sync(jnp.zeros((1,), dtype=jnp.uint32))
+            # over the tunneled-TPU transport). The op takes a fresh host
+            # scalar each call so a constant-folding/buffer-caching runtime
+            # can never serve it without executing on the stream (ADVICE r3:
+            # a cached jnp.zeros fill would silently stop barriering).
+            self._seq += 1
+            hard_sync(jnp.full((1,), np.uint32(self._seq)) + jnp.uint32(1))
 
     @contextmanager
     def scope(self, name: str):

@@ -52,13 +52,22 @@ def hard_sync(x) -> None:
     barrier let every block enqueue at once and OOM'd the 2^19 north-star
     runs. A one-element dependent readback forces real completion (device
     streams execute in-order). On local backends the plain barrier is
-    cheaper and sufficient."""
+    cheaper and sufficient.
+
+    The forced-readback choice keys on the ARRAY'S OWN device platform, not
+    on a transport env var (ADVICE r3): a JAX_PLATFORMS=cpu process with the
+    tunnel var still set gets the cheap local barrier, and any tunnel
+    configured through a different variable still gets the real readback."""
     if isinstance(x, _np.ndarray):
         return
-    if _os.environ.get("PALLAS_AXON_POOL_IPS"):
-        _np.asarray(_jnp.reshape(x, (-1,))[:1])
-    else:
+    try:
+        local = all(d.platform in ("cpu", "gpu") for d in x.devices())
+    except Exception:  # tracers / committed-less arrays: be conservative
+        local = False
+    if local:
         jax.block_until_ready(x)
+    else:
+        _np.asarray(_jnp.reshape(x, (-1,))[:1])
 
 
 def _any_jax(args) -> bool:
@@ -119,4 +128,14 @@ def at_set(arr, idx, value):
         return arr.at[idx].set(value)
     out = _np.array(arr, copy=True)
     out[idx] = value
+    return out
+
+
+def at_add(arr, idx, value):
+    """arr.at[idx].add(value) that also works on numpy arrays (wrapping u64
+    add, same semantics both engines)."""
+    if _any_jax((arr, value)):
+        return _jnp.asarray(arr).at[idx].add(value)
+    out = _np.array(arr, copy=True)
+    out[idx] += value
     return out
