@@ -36,10 +36,25 @@ def _pl():
 
 
 @functools.lru_cache(maxsize=None)
-def _mds_exps() -> tuple[int, ...]:
+def _mds_consts() -> tuple:
+    """(row, diag, form) for the active parameter set. form is 'shift'
+    (pow2 circulant, zero diag: terms are lane shifts) or 'mul16' (all
+    entries < 2^16: terms are exact u32-half multiplies). Parameter sets
+    with larger entries make the kernel unavailable (kernel_ok) and the
+    XLA dense path runs instead."""
     from .. import poseidon
 
-    return poseidon._FAST_MDS_EXPS
+    return (
+        tuple(poseidon.FAST_MDS_ROW),
+        tuple(poseidon.MDS_DIAG),
+        poseidon._mds_form(),
+    )
+
+
+def kernel_ok() -> bool:
+    """True when the active Poseidon parameters are expressible in this
+    kernel's exact shift/small-multiply MDS forms."""
+    return _mds_consts()[2] in ("shift", "mul16")
 
 
 @functools.lru_cache(maxsize=None)
@@ -54,29 +69,61 @@ def _rc_u32() -> tuple[np.ndarray, np.ndarray]:
 
 
 def _mds(lo, hi):
-    """Circulant power-of-two MDS on [12, T] u32 pairs.
+    """MDS layer circ(row)+diag(diag) on [12, T] u32 pairs.
 
-    out[i] = sum_d 2^{e_d} * s[(i+d) % 12]: computed for all i at once by
-    accumulating rotated-row copies, mirroring poseidon._mds_layer's exact
-    u64 shift-sum + single 128-bit reduction (sums < 2^53, exact)."""
-    exps = _mds_exps()
-    zero = jnp.zeros_like(lo)
-    blo = bhi = alo = ahi = None  # b: sum of shifted lo-halves; a: hi-halves
-    for d, e in enumerate(exps):
+    out[i] = sum_d m_d * s[(i+d) % 12] (+ diag_i * s[i]): computed for all
+    i at once by accumulating rotated-row copies, mirroring
+    poseidon._mds_layer's exact u64 term-sum + single 128-bit reduction
+    (term halves < 2^48, 13 terms -> sums < 2^53, exact). Terms are lane
+    shifts for power-of-two rows ('shift' form) or u32-half multiplies for
+    entries < 2^16 ('mul16' form — plonky2's circ+diag constants are < 2^6)."""
+    row, diag, form = _mds_consts()
+
+    def term(vlo, vhi, m: int):
+        # (vlo, vhi as independent u32 lanes) * m -> 64-bit (t, carry) each.
+        # All constants are SCALARS: pallas_call forbids captured array
+        # constants, and numpy scalars fold into the kernel as literals.
+        if m == 1:
+            z = jnp.zeros_like(vlo)
+            return vlo, z, vhi, z
+        if form == "shift":
+            e = int(m).bit_length() - 1
+            sh, ish = np.uint32(e), np.uint32(32 - e)
+            return vlo << sh, vlo >> ish, vhi << sh, vhi >> ish
+        m32 = np.uint32(m)  # numpy scalar: broadcasts inside mul32's lanes
+        tlo, tc = u.mul32(vlo, m32)
+        ulo, uc = u.mul32(vhi, m32)
+        return tlo, tc, ulo, uc
+
+    blo = bhi = alo = ahi = None  # b: sum of term lo-halves; a: hi-halves
+    for d, m in enumerate(row):
         rlo = jnp.concatenate([lo[d:], lo[:d]], axis=0) if d else lo
         rhi = jnp.concatenate([hi[d:], hi[:d]], axis=0) if d else hi
-        if e == 0:
-            tlo, tc = rlo, zero  # 2^0: no shift, no spill into the high word
-            ulo, uc = rhi, zero
-        else:
-            sh, ish = np.uint32(e), np.uint32(32 - e)
-            tlo, tc = rlo << sh, rlo >> ish
-            ulo, uc = rhi << sh, rhi >> ish
+        if m == 0:
+            continue
+        tlo, tc, ulo, uc = term(rlo, rhi, m)
         if blo is None:
             blo, bhi, alo, ahi = tlo, tc, ulo, uc
         else:
             blo, bhi, _ = u.add64(blo, bhi, tlo, tc)
             alo, ahi, _ = u.add64(alo, ahi, ulo, uc)
+    if any(diag):
+        # diag contribution: diag_i * s[i] added to out[i]. Row-sliced with
+        # SCALAR multipliers (a [12,1] constant array would be captured by
+        # the kernel, which pallas_call rejects); zero-diag rows contribute
+        # zeros so the concatenated shape stays [12, T].
+        rows = []
+        for i, dv in enumerate(diag):
+            if dv:
+                rows.append(term(lo[i : i + 1], hi[i : i + 1], dv))
+            else:
+                z = jnp.zeros_like(lo[i : i + 1])
+                rows.append((z, z, z, z))
+        dlo, dc, elo, ec = (
+            jnp.concatenate([r[k] for r in rows], axis=0) for k in range(4)
+        )
+        blo, bhi, _ = u.add64(blo, bhi, dlo, dc)
+        alo, ahi, _ = u.add64(alo, ahi, elo, ec)
     # v = (a << 32) + b, then reduce 128 -> canonical
     # r0 = b_lo; r1 = b_hi + a_lo (carry c); r2 = a_hi + c; r3 = 0
     r1 = bhi + alo

@@ -63,38 +63,78 @@ FAST_MDS_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
 _FAST_MDS_EXPS = tuple(int(v).bit_length() - 1 for v in FAST_MDS_ROW)
 assert all(1 << e == v for e, v in zip(_FAST_MDS_EXPS, FAST_MDS_ROW))
 
+# Optional extra diagonal: M = circ(FAST_MDS_ROW) + diag(MDS_DIAG). plonky2's
+# Goldilocks Poseidon uses exactly this circulant-plus-diagonal shape (its
+# MDS_MATRIX_CIRC + MDS_MATRIX_DIAG, neither power-of-two), which is why the
+# device layer below supports three MDS forms: shift-adds (pow2 circulant,
+# zero diag — the default), exact small-constant multiplies (any circ+diag
+# entries < 2^16), and a dense modmul matvec (anything else).
+MDS_DIAG = (0,) * WIDTH
+# Raw round-constant table override: [30][12] canonical Goldilocks values.
+# None -> derive from _SEED by SHA-256 rejection sampling as before.
+_RC_TABLE: np.ndarray | None = None
 
-def set_params(seed: bytes | None = None, mds_row: tuple | None = None):
-    """Swap in a different Poseidon parameter set (round-constant seed and/or
-    power-of-two circulant MDS first row) for the WHOLE framework.
 
-    This is the hook a plonky2-transcript-parity deployment uses once the
-    fork's constants are extractable (SURVEY.md §7 hard part (b)); today it
-    de-risks that swap: tests prove under one set and assert proofs are
-    rejected under another (tests/test_poseidon.py). Clears every dependent
-    cache — the dense/shift MDS tables, the jitted permutation closures that
-    baked the old constants in as literals, and jax's global jit caches
-    (merkle/challenger graphs traced against the old tables)."""
-    global _SEED, FAST_MDS_ROW, _FAST_MDS_EXPS
+def set_params(
+    seed: bytes | None = None,
+    mds_row: tuple | None = None,
+    rc_table=None,
+    mds_diag: tuple | None = None,
+):
+    """Swap in a different Poseidon parameter set for the WHOLE framework.
+
+    Accepts every shape a plonky2-parity deployment needs (the fork's
+    PoseidonGoldilocksConfig, reference src/modular/modular.rs:541-543):
+
+      seed      — re-derive round constants by SHA-256 sampling (this
+                  framework's native scheme), OR
+      rc_table  — a raw [FULL+PARTIAL=30][12] table of canonical Goldilocks
+                  round constants, ingested verbatim (plonky2 publishes its
+                  ALL_ROUND_CONSTANTS as such a table);
+      mds_row   — circulant first row, ARBITRARY entries (power-of-two rows
+                  keep the shift-add device layer; small entries < 2^16 use
+                  exact split multiplies; anything else a dense matvec);
+      mds_diag  — extra diagonal, making M = circ(mds_row) + diag(mds_diag)
+                  (plonky2's MDS_MATRIX_CIRC/MDS_MATRIX_DIAG shape).
+
+    Tests prove under one set and assert proofs are rejected under another,
+    and round-trip a prove/verify under a synthetic raw table + circ+diag
+    MDS (tests/test_poseidon.py). Clears every dependent cache — the
+    dense/shift MDS tables, the Pallas kernel's u32 constant forms, and
+    jax's global jit caches (merkle/challenger graphs traced against the
+    old tables)."""
+    global _SEED, FAST_MDS_ROW, _FAST_MDS_EXPS, MDS_DIAG, _RC_TABLE
     import jax as _jax
 
     if seed is not None:
         _SEED = bytes(seed)
+        _RC_TABLE = None
+    if rc_table is not None:
+        tbl = np.asarray(rc_table, dtype=np.uint64)
+        n_rounds = FULL_ROUNDS + PARTIAL_ROUNDS
+        assert tbl.shape == (n_rounds, WIDTH), tbl.shape
+        assert int(tbl.max()) < gl.P, "round constants must be canonical"
+        _RC_TABLE = tbl.copy()
     if mds_row is not None:
         mds_row = tuple(int(v) for v in mds_row)
         assert len(mds_row) == WIDTH
-        exps = tuple(int(v).bit_length() - 1 for v in mds_row)
-        assert all(1 << e == v for e, v in zip(exps, mds_row)), (
-            "the device MDS layer is shift-adds: entries must be powers of two"
-        )
+        assert all(0 <= v < gl.P for v in mds_row)
         FAST_MDS_ROW = mds_row
-        _FAST_MDS_EXPS = exps
+        if all(v and (v & (v - 1)) == 0 for v in mds_row):
+            _FAST_MDS_EXPS = tuple(int(v).bit_length() - 1 for v in mds_row)
+        else:
+            _FAST_MDS_EXPS = None  # device layer: multiply form
+    if mds_diag is not None:
+        MDS_DIAG = tuple(int(v) for v in mds_diag)
+        assert len(MDS_DIAG) == WIDTH
+        assert all(0 <= v < gl.P for v in MDS_DIAG)
     _constants.cache_clear()
+    _mds_form.cache_clear()
     try:  # the Pallas kernel caches the constants in its own u32 form
         from .pallas import poseidon_kernel as _pk
 
         _pk._rc_u32.cache_clear()
-        _pk._mds_exps.cache_clear()
+        _pk._mds_consts.cache_clear()
     except Exception:  # pragma: no cover
         pass
     _jax.clear_caches()
@@ -103,14 +143,34 @@ def set_params(seed: bytes | None = None, mds_row: tuple | None = None):
 @functools.lru_cache(maxsize=None)
 def _constants():
     n_rounds = FULL_ROUNDS + PARTIAL_ROUNDS
-    rc = _sample_field_elements(n_rounds * WIDTH, b"rc").reshape(n_rounds, WIDTH)
-    # dense form of the circulant (host challenger + tests use this; the
-    # device layer uses the shift form below)
+    if _RC_TABLE is not None:
+        rc = _RC_TABLE.copy()
+    else:
+        rc = _sample_field_elements(n_rounds * WIDTH, b"rc").reshape(
+            n_rounds, WIDTH
+        )
+    # dense form of circ(row) + diag (host challenger + tests use this; the
+    # device layer uses the shift/multiply forms below)
     mds = np.empty((WIDTH, WIDTH), dtype=np.uint64)
     for i in range(WIDTH):
         for j in range(WIDTH):
             mds[i, j] = FAST_MDS_ROW[(j - i) % WIDTH]
+        mds[i, i] = (int(mds[i, i]) + MDS_DIAG[i]) % gl.P
     return rc, mds
+
+
+@functools.lru_cache(maxsize=None)
+def _mds_form() -> str:
+    """Which device-layer MDS evaluation applies to the current params:
+    'shift' (pow2 circulant, zero diag), 'mul16' (all circ+diag entries
+    < 2^16: exact u32-half split multiplies), 'dense' (full modmul matvec)."""
+    if _FAST_MDS_EXPS is not None and not any(MDS_DIAG):
+        return "shift"
+    if all(v < (1 << 16) for v in FAST_MDS_ROW) and all(
+        v < (1 << 16) for v in MDS_DIAG
+    ):
+        return "mul16"
+    return "dense"
 
 
 def _sbox(x):
@@ -133,13 +193,16 @@ def _mds_gather_idx():
 
 
 def _mds_layer(state, mds=None):
-    """Circulant power-of-two MDS as shift-adds in exact u32 halves.
+    """MDS layer M = circ(FAST_MDS_ROW) + diag(MDS_DIAG) in exact u32 halves.
 
-    out[i] = sum_d 2^{e_d} * s[(i+d)%12]. Each s splits as hi*2^32 + lo;
-    the shifted-hi and shifted-lo sums stay < 2^53 (12 terms < 2^48 each),
-    then one 128-bit reduction folds A*2^32 + B mod p. ~20 vector ops per
-    layer instead of 144 full 64-bit modmuls (the layer dominates the
-    permutation's cost: 144 of ~180 muls per round in the dense form).
+    out[i] = sum_d m_d * s[(i+d)%12] (+ diag_i * s[i]). Each s splits as
+    hi*2^32 + lo; the per-term products (shifts when every m is a power of
+    two, u32-half multiplies when entries are < 2^16) sum to < 2^53
+    (13 terms < 2^48 each), then one 128-bit reduction folds A*2^32 + B
+    mod p. ~20 vector ops per layer instead of 144 full 64-bit modmuls in
+    the shift form (the layer dominates the permutation's cost: 144 of
+    ~180 muls per round in the dense form). Entries >= 2^16 (no known
+    parameter set needs them) fall back to the dense modmul matvec.
 
     Engine-agnostic (xnp): under jit it traces to the device graph; on
     numpy inputs it runs eagerly on the host (the challenger's vector
@@ -147,11 +210,26 @@ def _mds_layer(state, mds=None):
     """
     from . import xnp
 
+    form = _mds_form()
+    if form == "dense":
+        _, dense = _constants()
+        # out[i] = sum_j M[i,j] * s[j]: full modmuls, [..., 1, 12] x [12, 12]
+        prod = gl.mul(state[..., None, :], xnp.asarray(dense))
+        return gl.sum_mod(prod, axis=-1)
     idx = _mds_gather_idx()  # [out, d] numpy: plain constant either engine
-    exps = np.array(_FAST_MDS_EXPS, dtype=np.uint64)
     g = state[..., idx]  # [..., out, d]
-    lo = (g & _MASK32) << exps
-    hi = (g >> np.uint64(32)) << exps
+    if form == "shift":
+        exps = np.array(_FAST_MDS_EXPS, dtype=np.uint64)
+        lo = (g & _MASK32) << exps
+        hi = (g >> np.uint64(32)) << exps
+    else:  # mul16: exact because m < 2^16 -> half-products < 2^48
+        row = np.array(FAST_MDS_ROW, dtype=np.uint64)
+        lo = (g & _MASK32) * row
+        hi = (g >> np.uint64(32)) * row
+        if any(MDS_DIAG):
+            diag = np.array(MDS_DIAG, dtype=np.uint64)
+            lo = xnp.at_add(lo, (Ellipsis, 0), (state & _MASK32) * diag)
+            hi = xnp.at_add(hi, (Ellipsis, 0), (state >> np.uint64(32)) * diag)
     b = xnp.sum(lo, axis=-1)  # < 2^53, exact in u64
     a = xnp.sum(hi, axis=-1)
     v_hi = a >> np.uint64(32)
@@ -218,7 +296,7 @@ def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
     ):
         from .pallas import poseidon_kernel as _pk
 
-        if _pk.available():
+        if _pk.available() and _pk.kernel_ok():
             pad = (-n) % RATE
             x = jnp.pad(inputs, ((0, 0), (0, pad))) if pad else inputs
             state = jnp.zeros((inputs.shape[0], WIDTH), dtype=jnp.uint64)
@@ -309,7 +387,7 @@ def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
     ):
         from .pallas import poseidon_kernel as _pk
 
-        if _pk.available():
+        if _pk.available() and _pk.kernel_ok():
             return _pk.sponge_absorb(state, block, tile=_PALLAS_TILE)
     return _sponge_absorb_xla(state, block)
 

@@ -73,6 +73,37 @@ class TestSpongeKernel:
         )
         assert (want == got).all()
 
+    def test_mul16_circ_diag_mds_form(self):
+        """Under a swapped circ+diag parameter set (plonky2's MDS shape,
+        non-power-of-two entries) the kernel's multiply MDS form must stay
+        bit-identical to the XLA path."""
+        n_rounds = poseidon.FULL_ROUNDS + poseidon.PARTIAL_ROUNDS
+        rc = RNG.integers(0, gl.P, size=(n_rounds, 12), dtype=np.uint64)
+        try:
+            poseidon.set_params(
+                rc_table=rc,
+                mds_row=(17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20),
+                mds_diag=(8,) + (0,) * 11,
+            )
+            assert pk.kernel_ok()
+            n = 512
+            state = RNG.integers(0, gl.P, size=(n, 12), dtype=np.uint64)
+            block = RNG.integers(0, gl.P, size=(n, 16), dtype=np.uint64)
+            want = np.asarray(
+                poseidon._sponge_absorb_xla(jnp.asarray(state), jnp.asarray(block))
+            )
+            got = np.asarray(
+                pk.sponge_absorb(jnp.asarray(state), jnp.asarray(block),
+                                 tile=512, interpret=True)
+            )
+            assert (want == got).all()
+        finally:
+            poseidon.set_params(
+                seed=poseidon._DEFAULT_SEED,
+                mds_row=(1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024),
+                mds_diag=(0,) * 12,
+            )
+
     def test_chained_blocks_match_hash_no_pad(self):
         """Absorbing column blocks through the kernel must reproduce the
         row digests of hash_no_pad (the Merkle leaf convention)."""

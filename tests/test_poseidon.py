@@ -153,3 +153,76 @@ def test_poseidon_constants_swap_roundtrip():
     finally:
         poseidon.set_params(seed=poseidon._DEFAULT_SEED)
     assert verify(air, proof_a, cfg)  # defaults restored
+
+
+def _plonky2_shaped_params(rng):
+    """A synthetic RAW [30][12] round-constant table plus plonky2's actual
+    circulant+diagonal MDS shape (its published MDS_MATRIX_CIRC /
+    MDS_MATRIX_DIAG — non-power-of-two entries, so this exercises the
+    multiply MDS form end-to-end). The rc table is synthetic: the fork's
+    own table drops in identically once extracted (VERDICT r3 item 4)."""
+    n_rounds = poseidon.FULL_ROUNDS + poseidon.PARTIAL_ROUNDS
+    rc = (rng.integers(0, 1 << 63, size=(n_rounds, poseidon.WIDTH)).astype(
+        np.uint64
+    )) % np.uint64(gl.P)
+    circ = (17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20)
+    diag = (8,) + (0,) * 11
+    return rc, circ, diag
+
+
+def test_poseidon_raw_table_and_circ_diag_mds():
+    """set_params(rc_table=..., mds_row=..., mds_diag=...) with arbitrary
+    raw constants and plonky2's circ+diag MDS shape: host (dense) and
+    device (mul16 split-multiply) permutations must agree, and a PARITY-
+    mode proof must round-trip under the swapped set."""
+    import jax.numpy as jnp
+
+    from starky_bn254_tpu import bn254
+    from starky_bn254_tpu.airs.fq_mul import FqMulAir
+    from starky_bn254_tpu.stark import StarkConfig, prove, verify
+    from starky_bn254_tpu.stark.config import FriConfig
+
+    rng = np.random.default_rng(31)
+    rc, circ, diag = _plonky2_shaped_params(rng)
+    try:
+        poseidon.set_params(rc_table=rc, mds_row=circ, mds_diag=diag)
+        assert poseidon._mds_form() == "mul16"
+        # the ingested table is used verbatim
+        got_rc, dense = poseidon._constants()
+        assert np.array_equal(got_rc, rc)
+        # dense form really is circ + diag
+        assert int(dense[0, 0]) == circ[0] + diag[0]
+        assert int(dense[3, 3]) == circ[0] + diag[3]
+        assert int(dense[2, 5]) == circ[3]
+        # host (dense python) vs device (mul16 split) permutation agree
+        state = rand_elems((poseidon.WIDTH,))
+        dev = np.asarray(poseidon.permute(gl.u64(state)))
+        host = ch._permute_host([int(x) for x in state])
+        assert [int(x) for x in dev] == host
+        # parity-mode proof round-trips under the swapped parameter set
+        rng2 = np.random.default_rng(33)
+        fq = lambda: int.from_bytes(rng2.bytes(40), "little") % bn254.P_BN
+        air = FqMulAir(256)
+        trace = air.generate_trace([(fq(), fq()) for _ in range(64)])
+        cfg = StarkConfig(
+            num_challenges=2,
+            fri=FriConfig(
+                rate_bits=1,
+                cap_height=1,
+                proof_of_work_bits=4,
+                num_query_rounds=12,
+                final_poly_bits=3,
+                parity=True,
+            ),
+        )
+        pi = np.zeros(0, dtype=np.uint64)
+        proof = prove(air, jnp.asarray(trace), pi, cfg)
+        assert verify(air, proof, cfg)
+    finally:
+        poseidon.set_params(
+            seed=poseidon._DEFAULT_SEED,
+            rc_table=None,
+            mds_row=(1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024),
+            mds_diag=(0,) * 12,
+        )
+    assert poseidon._mds_form() == "shift"
