@@ -79,6 +79,36 @@ def test_batch_tampered_cap_rejected(batch):
         verify_batch_fri(airs, bad, CFG)
 
 
+def test_batch_offload_byte_identical(batch, monkeypatch):
+    """With the device-LDE budget forced to zero every statement's oracles
+    live in HOST memory through the shared FRI (the bounded-retained-state
+    path for heavy batches); the proof must be byte-identical to the
+    all-on-device run."""
+    airs, proof = batch
+    monkeypatch.setenv("STARKY_LDE_DEVICE_BYTES", "0")
+    items = []
+    rng = np.random.default_rng(21)  # same stream as the module fixture
+
+    def rfq():
+        return int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
+
+    for air in airs:
+        trace = air.generate_trace([(rfq(), rfq()) for _ in range(250)])
+        items.append((air, jnp.asarray(trace), np.zeros(0, dtype=np.uint64)))
+    proof2 = prove_batch_fri(items, CFG)
+    for s1, s2 in zip(proof.statements, proof2.statements):
+        assert np.array_equal(s1.trace_cap, s2.trace_cap)
+        assert np.array_equal(s1.quotient_cap, s2.quotient_cap)
+        assert np.array_equal(s1.openings.trace_zeta, s2.openings.trace_zeta)
+    f1, f2 = proof.shared_fri, proof2.shared_fri
+    assert f1.pow_nonce == f2.pow_nonce
+    assert np.array_equal(f1.final_coeffs, f2.final_coeffs)
+    for q1, q2 in zip(f1.query_rounds, f2.query_rounds):
+        for a, b in zip(q1.initial_leaves, q2.initial_leaves):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert verify_batch_fri(airs, proof2, CFG)
+
+
 def test_batch_succinctness(batch):
     """The shared artifact must be materially smaller than N independent
     proofs: layer paths, final poly and PoW are paid once."""
