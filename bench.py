@@ -245,6 +245,16 @@ def _vs_baseline(key: str, value: float) -> float:
 
 
 _LAST_GOOD = os.path.join(REPO, "bench_last_good.json")
+_BEST_RECORD = None  # best JSON record printed so far (fresh > stale)
+
+
+def _emit_best_at_exit():
+    """The FINAL stdout line is always the best record of this run: a driver
+    that parses the last line gets the freshest data, one that parses the
+    first line got the startup emission — either way BENCH_r{N}.json carries
+    a record (rounds 2 and 3 both recorded empty rc=124 artifacts)."""
+    if _BEST_RECORD is not None:
+        print(json.dumps(_BEST_RECORD), flush=True)
 
 
 def _run_child(mode_env: str, budget: int, force_cpu: bool = False) -> bool:
@@ -276,10 +286,12 @@ def _run_child(mode_env: str, budget: int, force_cpu: bool = False) -> bool:
             if '"metric"' in r.stdout:
                 for line in r.stdout.splitlines():
                     if line.startswith("{"):
-                        print(line)
+                        print(line, flush=True)
                         try:  # persist as the next round's last-known-good
                             rec = json.loads(line)
                             rec.setdefault("detail", {})["recorded_at"] = time.time()
+                            global _BEST_RECORD
+                            _BEST_RECORD = rec
                             with open(_LAST_GOOD, "w") as f:
                                 json.dump(rec, f)
                         except Exception:
@@ -311,6 +323,7 @@ def main():
     # a parseable record; a fresh success below supersedes it (the driver
     # parses the last JSON line).
     stale_emitted = False
+    global _BEST_RECORD
     try:
         rec = json.load(open(_LAST_GOOD))
         rec.setdefault("detail", {})["stale"] = True
@@ -320,8 +333,12 @@ def main():
         )
         print(json.dumps(rec), flush=True)
         stale_emitted = True
+        _BEST_RECORD = rec
     except Exception:
         pass
+    import atexit
+
+    atexit.register(_emit_best_at_exit)
     # One shared deadline bounds the WHOLE ladder (round 2's sequential
     # budgets tripled the driver window and recorded nothing, rc=124).
     # Cap at a conservative 1200 s regardless of env: the driver window has

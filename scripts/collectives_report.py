@@ -6,7 +6,8 @@ collective-permute, all-gather, all-reduce, reduce-scatter) each compiled
 module actually contains after SPMD partitioning. Output: markdown table on
 stdout (checked into PARALLEL.md).
 
-Usage: python scripts/collectives_report.py
+Usage: python scripts/collectives_report.py [fq_mul|g1 [num_io]]
+(default: fq_mul at 256 rows; `g1 16` runs the bench-class G1ExpAir shape)
 """
 
 import collections
@@ -56,12 +57,26 @@ def main():
     def fq():
         return int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
 
-    air = FqMulAir(256)
-    trace = air.generate_trace([(fq(), fq()) for _ in range(250)])
+    kind = sys.argv[1] if len(sys.argv) > 1 else "fq_mul"
+    if kind == "g1":
+        from starky_bn254_tpu.airs.g1_exp import G1ExpAir
+
+        num_io = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        sc = lambda: int.from_bytes(rng.bytes(40), "little") % bn254.R_BN
+        g1p = lambda: bn254.g1_mul(bn254.G1_GEN, sc())
+        air = G1ExpAir(num_io, range_check="logup")
+        trace, pi = air.generate_trace_and_pi(
+            [(g1p(), g1p(), sc()) for _ in range(num_io)]
+        )
+        print(f"workload: G1ExpAir num_io={num_io} trace {trace.shape}",
+              file=sys.stderr)
+    else:
+        air = FqMulAir(256)
+        trace = air.generate_trace([(fq(), fq()) for _ in range(250)])
+        pi = np.zeros(0, dtype=np.uint64)
     cfg = StarkConfig.test_config()
     mesh = make_mesh(8)
-    proof = prove(air, jnp.asarray(trace), np.zeros(0, dtype=np.uint64), cfg,
-                  mesh=mesh)
+    proof = prove(air, jnp.asarray(trace), pi, cfg, mesh=mesh)
     assert verify(air, proof, cfg)
 
     per_module = collections.defaultdict(collections.Counter)
