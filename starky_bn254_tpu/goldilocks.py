@@ -176,12 +176,49 @@ def pow_const(a, e: int):
     return result
 
 
-def inv(a):
-    """Fermat inverse a^(p-2). inv(0) = 0."""
-    return pow_const(a, P - 2)
-
-
 import jax as _jax
+
+
+def _sq_n(x, n: int):
+    """x^(2^n) via a rolled loop of squarings (ONE squaring body in the
+    executable instead of n copies — the unrolled ~126-op Fermat chain made
+    every inversion-bearing program tens of MB, which dominates both remote
+    compile time and the per-fresh-process executable transfer over the
+    tunneled-TPU transport)."""
+    return _jax.lax.fori_loop(0, n, lambda i, v: square(v), x)
+
+
+def _inv_chain_rolled(a):
+    """a^(p-2) by the 2^k-1 addition chain with rolled squaring runs.
+
+    p-2 = (2^31-1)*2^33 + 2^32 - 1, and with f(k) = a^(2^k-1),
+    f(k+m) = f(k)^(2^m) * f(m):  result = f(31)^(2^33) * f(32).
+    ~75 squarings + 10 multiplies — fewer modmuls than binary
+    square-and-multiply (~126) AND a tiny executable. The output is the
+    canonical residue either way (exact arithmetic), so proofs/transcripts
+    are unchanged."""
+    f1 = a
+    f2 = mul(_sq_n(f1, 1), f1)
+    f3 = mul(_sq_n(f2, 1), f1)
+    f4 = mul(_sq_n(f2, 2), f2)
+    f7 = mul(_sq_n(f4, 3), f3)
+    f8 = mul(_sq_n(f4, 4), f4)
+    f15 = mul(_sq_n(f8, 7), f7)
+    f16 = mul(_sq_n(f8, 8), f8)
+    f31 = mul(_sq_n(f16, 15), f15)
+    f32 = mul(_sq_n(f31, 1), f1)
+    return mul(_sq_n(f31, 33), f32)
+
+
+def inv(a):
+    """Fermat inverse a^(p-2). inv(0) = 0.
+
+    Under tracing: the rolled addition chain (small executable). On eager
+    numpy inputs (host verifier paths): the unrolled square-and-multiply,
+    which runs eagerly with no compilation at all. Identical values."""
+    if isinstance(a, _jax.core.Tracer):
+        return _inv_chain_rolled(a)
+    return pow_const(a, P - 2)
 
 
 @_jax.jit
@@ -191,7 +228,7 @@ def batch_inv(a):
 
     Deliberately NOT a Montgomery prefix-product trick: the associative
     scans it needs compile pathologically on the TPU AOT path and serialize
-    the device, while ~100 fully-parallel squarings are cheap there.
+    the device, while ~85 fully-parallel squarings are cheap there.
     """
     return inv(a)
 

@@ -240,29 +240,51 @@ def _mds_layer(state, mds=None):
 
 
 def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
+    """30-round permutation. Under tracing the three round groups are
+    lax.fori_loops (ONE round body each in the executable: the fully
+    unrolled form put ~650 u64 ops per permutation into every
+    poseidon-bearing program — the whole-tree builds serialized at 75 MB
+    each, which dominated remote compile time and the per-process
+    executable transfer over the tunneled-TPU transport). On eager numpy
+    inputs the Python loop runs as before. Same ops in the same order —
+    bit-identical digests (pinned against the host challenger permutation
+    in tests/test_poseidon.py)."""
+    import jax as _jax
+
     from . import xnp
 
     rc, _ = _constants()
     rc_j = xnp.asarray(rc)
-
     half = FULL_ROUNDS // 2
-    r = 0
-    for _ in range(half):
-        state = gl.add(state, rc_j[r])
-        state = _sbox(state)
-        state = _mds_layer(state)
-        r += 1
-    for _ in range(PARTIAL_ROUNDS):
-        state = gl.add(state, rc_j[r])
-        s0 = _sbox(state[..., 0])
-        state = xnp.at_set(state, (Ellipsis, 0), s0)
-        state = _mds_layer(state)
-        r += 1
-    for _ in range(half):
-        state = gl.add(state, rc_j[r])
-        state = _sbox(state)
-        state = _mds_layer(state)
-        r += 1
+
+    def full_round(r, st):
+        st = gl.add(st, rc_j[r])
+        st = _sbox(st)
+        return _mds_layer(st)
+
+    def partial_round(r, st):
+        st = gl.add(st, rc_j[r])
+        s0 = _sbox(st[..., 0])
+        st = xnp.at_set(st, (Ellipsis, 0), s0)
+        return _mds_layer(st)
+
+    if isinstance(state, _jax.core.Tracer):
+        rc_j = jnp.asarray(rc)  # traced index below needs a device constant
+        state = _jax.lax.fori_loop(0, half, full_round, state)
+        state = _jax.lax.fori_loop(
+            half, half + PARTIAL_ROUNDS, partial_round, state
+        )
+        state = _jax.lax.fori_loop(
+            half + PARTIAL_ROUNDS, FULL_ROUNDS + PARTIAL_ROUNDS, full_round,
+            state,
+        )
+        return state
+    for r in range(half):
+        state = full_round(r, state)
+    for r in range(half, half + PARTIAL_ROUNDS):
+        state = partial_round(r, state)
+    for r in range(half + PARTIAL_ROUNDS, FULL_ROUNDS + PARTIAL_ROUNDS):
+        state = full_round(r, state)
     return state
 
 
