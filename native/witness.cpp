@@ -228,6 +228,185 @@ const uint16_t* p16_limbs() {
     return p16;
 }
 
+// ---------------------------------------------------------------------------
+// single-row building blocks (shared by the batched entry points and the
+// fused G1 chain below)
+// ---------------------------------------------------------------------------
+
+struct ModOut {
+    uint16_t out[N16];
+    uint16_t oar[N16];
+    uint16_t qabs[N16 + 1];
+    uint16_t lo[WIDE];
+    uint16_t hi[WIDE];
+    uint8_t sign;  // 1 => +1, 0 => p-1
+};
+
+// One modular-op witness row: c = 31 signed coefficients. Returns 0 on
+// success, nonzero on inconsistency. Mirrors the per-row body of
+// batch_modular_witness exactly (same floor semantics / aux offsets).
+int modular_witness_row(const int64_t* c, int zero_op, ModOut* o) {
+    const uint16_t* p16 = p16_limbs();
+    int sign, nmag;
+    uint32_t mag[20];
+    poly_value(c, WIDE, &sign, mag, &nmag);
+    if (nmag > 17) return 1;
+
+    uint32_t q[10], rem[N32];
+    int nq;
+    divmod_p(mag, nmag, q, &nq, rem);
+
+    int qsign = 1;
+    uint32_t qq[10];
+    std::memcpy(qq, q, sizeof(qq));
+    int rem_zero = digits_norm(rem, N32) == 0;
+    if (sign < 0) {
+        if (rem_zero) {
+            qsign = (nq == 0) ? 1 : -1;
+        } else {
+            uint32_t tmp[N32];
+            std::memcpy(tmp, P32, sizeof(tmp));
+            digits_sub(tmp, N32, rem, N32);
+            std::memcpy(rem, tmp, sizeof(tmp));
+            uint64_t carry = 1;
+            for (int i = 0; i < 10 && carry; i++) {
+                uint64_t s2 = (uint64_t)qq[i] + carry;
+                qq[i] = (uint32_t)s2;
+                carry = s2 >> 32;
+            }
+            qsign = -1;
+        }
+    }
+    if (zero_op && digits_norm(rem, N32) != 0) return 1;
+
+    uint16_t q_l[N16 + 4];
+    digits_to_u16(rem, N32, o->out, N16);
+    digits_to_u16(qq, 10, q_l, N16 + 4);
+    if (q_l[N16 + 1] != 0 || q_l[N16 + 2] != 0 || q_l[N16 + 3] != 0) return 1;
+
+    if (!zero_op) {
+        // out_aux_red = (2^256 - p) + output; top digit must vanish
+        uint32_t two256mp[9];
+        std::memset(two256mp, 0, sizeof(two256mp));
+        two256mp[8] = 1;
+        {
+            int64_t borrow = 0;
+            for (int i = 0; i < 9; i++) {
+                int64_t pi = i < N32 ? (int64_t)P32[i] : 0;
+                int64_t t = (int64_t)two256mp[i] - pi - borrow;
+                if (t < 0) {
+                    t += (int64_t)1 << 32;
+                    borrow = 1;
+                } else {
+                    borrow = 0;
+                }
+                two256mp[i] = (uint32_t)t;
+            }
+        }
+        uint32_t oar[9];
+        uint64_t carry = 0;
+        for (int i = 0; i < 9; i++) {
+            uint64_t s2 = (uint64_t)two256mp[i] + (i < N32 ? rem[i] : 0) + carry;
+            oar[i] = (uint32_t)s2;
+            carry = s2 >> 32;
+        }
+        if (oar[8] != 0) return 1;
+        digits_to_u16(oar, 8, o->oar, N16);
+    } else {
+        std::memset(o->oar, 0, sizeof(o->oar));
+    }
+    for (int i = 0; i < N16 + 1; i++) o->qabs[i] = q_l[i];
+    o->sign = qsign > 0 ? 1 : 0;
+
+    int64_t constr[2 * N16];
+    std::memset(constr, 0, sizeof(constr));
+    for (int i = 0; i < WIDE; i++) constr[i] = c[i];
+    if (!zero_op)
+        for (int i = 0; i < N16; i++) constr[i] -= (int64_t)o->out[i];
+    for (int i = 0; i < N16 + 1; i++) {
+        int64_t qi = (int64_t)q_l[i] * qsign;
+        for (int j = 0; j < N16; j++) constr[i + j] -= qi * (int64_t)p16[j];
+    }
+    int64_t aux[2 * N16];
+    std::memset(aux, 0, sizeof(aux));
+    int d = 2 * N16 - 1;
+    aux[d - 1] = constr[d];
+    for (int i = d - 1; i > 0; i--)
+        aux[i - 1] = constr[i] + ((int64_t)1 << 16) * aux[i];
+    if (constr[0] + ((int64_t)1 << 16) * aux[0] != 0) return 1;
+    if (aux[WIDE] != 0) return 1;
+    for (int i = 0; i < WIDE; i++) {
+        int64_t v = aux[i] + AUX_MAX;
+        if (v < 0 || v > 2 * AUX_MAX) return 1;
+        o->lo[i] = (uint16_t)(v & 0xFFFF);
+        o->hi[i] = (uint16_t)(v >> 16);
+    }
+    return 0;
+}
+
+// (value of 31 signed coeffs) mod p -> 16 u16 limbs; no witness. Used for
+// intermediate reductions whose aux is discarded (2y, dx, dy, products).
+void poly_mod_p(const int64_t* c, int nc, uint16_t* out) {
+    int sign, nmag;
+    uint32_t mag[20];
+    int64_t cw[WIDE];
+    std::memset(cw, 0, sizeof(cw));
+    for (int i = 0; i < nc; i++) cw[i] = c[i];
+    poly_value(cw, WIDE, &sign, mag, &nmag);
+    uint32_t q[10], rem[N32];
+    int nq;
+    divmod_p(mag, nmag, q, &nq, rem);
+    if (sign < 0 && digits_norm(rem, N32) != 0) {
+        uint32_t tmp[N32];
+        std::memcpy(tmp, P32, sizeof(tmp));
+        digits_sub(tmp, N32, rem, N32);
+        std::memcpy(rem, tmp, sizeof(tmp));
+    }
+    digits_to_u16(rem, N32, out, N16);
+}
+
+// schoolbook 16x16 limb product: c[31] (int64) = a * b, limbs as int64
+void conv16_row(const int64_t* a, const int64_t* b, int64_t* c) {
+    std::memset(c, 0, sizeof(int64_t) * WIDE);
+    for (int i = 0; i < N16; i++) {
+        if (!a[i]) continue;
+        for (int j = 0; j < N16; j++) c[i + j] += a[i] * b[j];
+    }
+}
+
+}  // namespace
+
+extern "C" int64_t batch_fq_inv(int64_t n, const uint16_t* in_limbs,
+                                uint16_t* out_limbs);
+
+namespace {
+
+constexpr uint64_t GL_P = 0xFFFFFFFF00000001ull;
+
+// pack one (lam, w_zero, w_x, w_y) triple into the 320-cell G1Output block
+// (order of gadgets/g1.py _pack / g1_batch.py _lambda_pack)
+void pack_g1_cells(const uint16_t* lam, const ModOut& wz, const ModOut& wx,
+                   const ModOut& wy, uint64_t* cell) {
+    int k = 0;
+    for (int i = 0; i < N16; i++) cell[k++] = lam[i];
+    for (int i = 0; i < N16; i++) cell[k++] = wx.out[i];
+    for (int i = 0; i < N16; i++) cell[k++] = wy.out[i];
+    for (int i = 0; i < N16 + 1; i++) cell[k++] = wz.qabs[i];
+    for (int i = 0; i < WIDE; i++) cell[k++] = wz.lo[i];
+    for (int i = 0; i < WIDE; i++) cell[k++] = wz.hi[i];
+    for (int i = 0; i < N16; i++) cell[k++] = wx.oar[i];
+    for (int i = 0; i < N16 + 1; i++) cell[k++] = wx.qabs[i];
+    for (int i = 0; i < WIDE; i++) cell[k++] = wx.lo[i];
+    for (int i = 0; i < WIDE; i++) cell[k++] = wx.hi[i];
+    for (int i = 0; i < N16; i++) cell[k++] = wy.oar[i];
+    for (int i = 0; i < N16 + 1; i++) cell[k++] = wy.qabs[i];
+    for (int i = 0; i < WIDE; i++) cell[k++] = wy.lo[i];
+    for (int i = 0; i < WIDE; i++) cell[k++] = wy.hi[i];
+    cell[k++] = wz.sign ? 1 : GL_P - 1;
+    cell[k++] = wx.sign ? 1 : GL_P - 1;
+    cell[k++] = wy.sign ? 1 : GL_P - 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -487,6 +666,148 @@ int64_t batch_fq_inv(int64_t n, const uint16_t* in_limbs, uint16_t* out_limbs) {
         for (int i = 0; i < N16; i++)
             out_limbs[r * N16 + i] =
                 (uint16_t)((c[i / 4] >> (16 * (i % 4))) & 0xFFFF);
+    }
+    return 0;
+}
+
+// Fused G1 double-and-add witness chain (the whole 512-row x n-instance
+// row loop of G1ExpAir.generate_trace_and_pi in ONE call: the per-row
+// Python/ctypes/astype overhead was ~45% of warm trace generation).
+//
+//   ax0..by0:  [n][16] u16 initial coordinates (a = base point, b = acc)
+//   is_double: [rows] u8 — 1: every instance doubles a; 0: bit-row
+//   bits:      [n][rows] u8 — filtered bit per instance (read on bit rows)
+//   main_out:  [n][rows][row_stride] u64 — the trace's main block; this
+//              writes cells [coord_off .. coord_off+64) = (ax ay bx by) at
+//              row start and [cells_off .. cells_off+320) = G1Output
+//   final_bx/by: [n][16] u16 — b after the chain (the proven output)
+//
+// Returns 0 on success; (inst*rows + row + 1) of the first failure.
+int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
+                     const uint16_t* ay0, const uint16_t* bx0,
+                     const uint16_t* by0, const uint8_t* is_double,
+                     const uint8_t* bits, uint64_t* main_out,
+                     int64_t row_stride, int64_t coord_off, int64_t cells_off,
+                     uint16_t* final_bx, uint16_t* final_by) {
+    for (int64_t inst = 0; inst < n; inst++) {
+        int64_t ax[N16], ay[N16], bx[N16], by[N16];
+        for (int i = 0; i < N16; i++) {
+            ax[i] = ax0[inst * N16 + i];
+            ay[i] = ay0[inst * N16 + i];
+            bx[i] = bx0[inst * N16 + i];
+            by[i] = by0[inst * N16 + i];
+        }
+        for (int64_t r = 0; r < rows; r++) {
+            uint64_t* row_base =
+                main_out + (inst * rows + r) * row_stride;
+            uint64_t* coords = row_base + coord_off;
+            for (int i = 0; i < N16; i++) {
+                coords[i] = (uint64_t)ax[i];
+                coords[N16 + i] = (uint64_t)ay[i];
+                coords[2 * N16 + i] = (uint64_t)bx[i];
+                coords[3 * N16 + i] = (uint64_t)by[i];
+            }
+            uint64_t* cell = row_base + cells_off;
+            int is_add = !is_double[r] && bits[inst * rows + r];
+            if (!is_double[r] && !is_add) {
+                // filtered-off row: zero cells, quot_signs default to 1
+                std::memset(cell, 0, sizeof(uint64_t) * 320);
+                cell[317] = cell[318] = cell[319] = 1;
+                continue;
+            }
+            int64_t conv[WIDE], conv2[WIDE], pol[WIDE];
+            uint16_t lam[N16], inv16[N16], red[N16];
+            ModOut wz, wx, wy;
+            if (is_double[r]) {
+                // lam = 3*ax^2 * inv(2*ay)
+                int64_t two_y[N16];
+                for (int i = 0; i < N16; i++) two_y[i] = 2 * ay[i];
+                poly_mod_p(two_y, N16, red);
+                if (batch_fq_inv(1, red, inv16)) return inst * rows + r + 1;
+                conv16_row(ax, ax, conv);  // ax^2
+                int64_t sq3[WIDE];
+                for (int i = 0; i < WIDE; i++) sq3[i] = 3 * conv[i];
+                uint16_t x_sq3[N16];
+                poly_mod_p(sq3, WIDE, x_sq3);
+                int64_t x3l[N16], invl[N16];
+                for (int i = 0; i < N16; i++) {
+                    x3l[i] = x_sq3[i];
+                    invl[i] = inv16[i];
+                }
+                conv16_row(x3l, invl, conv2);
+                poly_mod_p(conv2, WIDE, lam);
+                int64_t laml[N16];
+                for (int i = 0; i < N16; i++) laml[i] = lam[i];
+                // zero: 2*conv(lam, ay) - 3*conv(ax, ax)
+                conv16_row(laml, ay, conv2);
+                for (int i = 0; i < WIDE; i++)
+                    pol[i] = 2 * conv2[i] - 3 * conv[i];
+                if (modular_witness_row(pol, 1, &wz)) return inst * rows + r + 1;
+                // new_x: conv(lam, lam) - 2*ax
+                conv16_row(laml, laml, pol);
+                for (int i = 0; i < N16; i++) pol[i] -= 2 * ax[i];
+                if (modular_witness_row(pol, 0, &wx)) return inst * rows + r + 1;
+                // new_y: conv(lam, ax - new_x) - ay
+                int64_t diff[N16];
+                for (int i = 0; i < N16; i++)
+                    diff[i] = ax[i] - (int64_t)wx.out[i];
+                conv16_row(laml, diff, pol);
+                for (int i = 0; i < N16; i++) pol[i] -= ay[i];
+                if (modular_witness_row(pol, 0, &wy)) return inst * rows + r + 1;
+                pack_g1_cells(lam, wz, wx, wy, cell);
+                for (int i = 0; i < N16; i++) {
+                    ax[i] = wx.out[i];
+                    ay[i] = wy.out[i];
+                }
+            } else {
+                // lam = (by - ay) * inv(bx - ax)
+                int64_t dx[N16], dy[N16];
+                for (int i = 0; i < N16; i++) {
+                    dx[i] = bx[i] - ax[i];
+                    dy[i] = by[i] - ay[i];
+                }
+                poly_mod_p(dx, N16, red);
+                int nz = 0;
+                for (int i = 0; i < N16; i++) nz |= red[i];
+                if (!nz) return inst * rows + r + 1;  // equal x: degenerate
+                if (batch_fq_inv(1, red, inv16)) return inst * rows + r + 1;
+                uint16_t dy_red[N16];
+                poly_mod_p(dy, N16, dy_red);
+                int64_t dyl[N16], invl[N16];
+                for (int i = 0; i < N16; i++) {
+                    dyl[i] = dy_red[i];
+                    invl[i] = inv16[i];
+                }
+                conv16_row(dyl, invl, conv2);
+                poly_mod_p(conv2, WIDE, lam);
+                int64_t laml[N16];
+                for (int i = 0; i < N16; i++) laml[i] = lam[i];
+                // zero: conv(lam, dx) - dy
+                conv16_row(laml, dx, pol);
+                for (int i = 0; i < N16; i++) pol[i] -= dy[i];
+                if (modular_witness_row(pol, 1, &wz)) return inst * rows + r + 1;
+                // new_x: conv(lam, lam) - (ax + bx)
+                conv16_row(laml, laml, pol);
+                for (int i = 0; i < N16; i++) pol[i] -= ax[i] + bx[i];
+                if (modular_witness_row(pol, 0, &wx)) return inst * rows + r + 1;
+                // new_y: conv(lam, ax - new_x) - ay
+                int64_t diff[N16];
+                for (int i = 0; i < N16; i++)
+                    diff[i] = ax[i] - (int64_t)wx.out[i];
+                conv16_row(laml, diff, pol);
+                for (int i = 0; i < N16; i++) pol[i] -= ay[i];
+                if (modular_witness_row(pol, 0, &wy)) return inst * rows + r + 1;
+                pack_g1_cells(lam, wz, wx, wy, cell);
+                for (int i = 0; i < N16; i++) {
+                    bx[i] = wx.out[i];
+                    by[i] = wy.out[i];
+                }
+            }
+        }
+        for (int i = 0; i < N16; i++) {
+            final_bx[inst * N16 + i] = (uint16_t)bx[i];
+            final_by[inst * N16 + i] = (uint16_t)by[i];
+        }
     }
     return 0;
 }

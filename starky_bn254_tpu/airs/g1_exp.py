@@ -98,7 +98,24 @@ class G1ExpAir(Air):
 
         from .. import native
 
-        if native.available():
+        if native.has_g1_chain():
+            # the whole row loop in ONE native call, writing coordinates and
+            # G1Output cells straight into `main` (the per-row Python/ctypes
+            # path below cost ~1.4 s of the 3.4 s warm tracegen at num_io=128)
+            from ..gadgets import g1_batch as gb
+
+            ax, ay = gb.points_to_limbs([p for (p, _, _) in inputs])
+            bx, by = gb.points_to_limbs([q for (_, q, _) in inputs])
+            fbx, fby = native.g1_exp_chain(
+                ax, ay, bx, by,
+                is_double=flag_rows[0, :, 2],
+                bits=flag_rows[:, :, 4],
+                main=main,
+                coord_off=0,
+                cells_off=4 * N_LIMBS,
+            )
+            b_pt = [gb.limbs_to_point(fbx[i], fby[i]) for i in range(io)]
+        elif native.available():
             from ..gadgets import g1_batch as gb
 
             ax, ay = gb.points_to_limbs([p for (p, _, _) in inputs])

@@ -28,16 +28,23 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "libwitness.so")
-    if not os.path.exists(so):
-        src = os.path.join(_NATIVE_DIR, "witness.cpp")
-        if os.path.exists(src):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src],
-                    check=True,
-                    capture_output=True,
-                )
-            except Exception:
+    src = os.path.join(_NATIVE_DIR, "witness.cpp")
+    stale = (
+        os.path.exists(src)
+        and os.path.exists(so)
+        and os.path.getmtime(src) > os.path.getmtime(so)
+    )
+    if (not os.path.exists(so) or stale) and os.path.exists(src):
+        try:
+            tmp = so + ".build"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so)  # atomic: concurrent readers see old or new
+        except Exception:
+            if not os.path.exists(so):
                 return None
     if not os.path.exists(so):
         return None
@@ -54,6 +61,18 @@ def _load():
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_uint16),
     ]
+    if hasattr(lib, "g1_exp_chain"):  # older prebuilt .so may lack it
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.g1_exp_chain.restype = ctypes.c_int64
+        lib.g1_exp_chain.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,   # n, rows
+            u16p, u16p, u16p, u16p,           # ax0, ay0, bx0, by0
+            u8p, u8p,                         # is_double, bits
+            ctypes.POINTER(ctypes.c_uint64),  # main_out
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # stride, offs
+            u16p, u16p,                       # final_bx, final_by
+        ]
     _LIB = lib
     return _LIB
 
@@ -103,6 +122,52 @@ def batch_modular_witness(pol_inputs: np.ndarray, zero_op: bool):
         "aux_hi": hi.astype(np.uint64),
         "signs": sign_field,
     }
+
+
+def has_g1_chain() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "g1_exp_chain")
+
+
+def g1_exp_chain(
+    ax: np.ndarray,  # [n, 16] u64 limbs
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    is_double: np.ndarray,  # [rows] bool/u8
+    bits: np.ndarray,  # [n, rows] bool/u8
+    main: np.ndarray,  # [n, rows, row_stride] u64 C-contiguous trace block
+    coord_off: int,
+    cells_off: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Runs the ENTIRE G1 double-and-add witness chain in C++, writing the
+    per-row coordinates and G1Output cells straight into `main`. Returns
+    (final_bx, final_by) u64 limb arrays (the proven outputs). One ctypes
+    call replaces 512 x ~10 per-row Python/numpy/ctypes round trips."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "g1_exp_chain")
+    n, rows, row_stride = main.shape
+    assert main.flags.c_contiguous and main.dtype == np.uint64
+    ax16 = np.ascontiguousarray(ax, dtype=np.uint16)
+    ay16 = np.ascontiguousarray(ay, dtype=np.uint16)
+    bx16 = np.ascontiguousarray(bx, dtype=np.uint16)
+    by16 = np.ascontiguousarray(by, dtype=np.uint16)
+    isd = np.ascontiguousarray(is_double, dtype=np.uint8)
+    bts = np.ascontiguousarray(bits, dtype=np.uint8)
+    fbx = np.zeros((n, N_LIMBS), dtype=np.uint16)
+    fby = np.zeros((n, N_LIMBS), dtype=np.uint16)
+    rc = lib.g1_exp_chain(
+        n, rows,
+        _ptr(ax16, ctypes.c_uint16), _ptr(ay16, ctypes.c_uint16),
+        _ptr(bx16, ctypes.c_uint16), _ptr(by16, ctypes.c_uint16),
+        _ptr(isd, ctypes.c_uint8), _ptr(bts, ctypes.c_uint8),
+        _ptr(main, ctypes.c_uint64),
+        row_stride, coord_off, cells_off,
+        _ptr(fbx, ctypes.c_uint16), _ptr(fby, ctypes.c_uint16),
+    )
+    if rc != 0:
+        raise ValueError(f"native g1 chain failed at (inst*rows+row)={rc - 1}")
+    return fbx.astype(np.uint64), fby.astype(np.uint64)
 
 
 def batch_fq_inv(limbs: np.ndarray) -> np.ndarray:
