@@ -93,7 +93,14 @@ class G1ExpAir(Air):
         )
         flag_rows = fl.generate_flag_columns(exp_limbs)
 
-        main = np.zeros((io, ROWS_PER_BLOCK, NUM_MAIN), dtype=np.uint64)
+        # ONE preallocated buffer for the whole trace: every section (main
+        # cells, periodic/pulse columns, range-check columns) is written in
+        # place. The concatenate-based assembly copied the ~200 MB main
+        # block twice at num_io=128 (~1 s of the warm tracegen).
+        trace_full = np.zeros((ROWS_PER_BLOCK * io, self.num_columns),
+                              dtype=np.uint64)
+        m3 = trace_full.reshape(io, ROWS_PER_BLOCK, self.num_columns)
+        main = m3[:, :, :NUM_MAIN]  # strided view over the main section
         main[:, :, START_FLAGS:] = flag_rows
 
         from .. import native
@@ -110,7 +117,7 @@ class G1ExpAir(Air):
                 ax, ay, bx, by,
                 is_double=flag_rows[0, :, 2],
                 bits=flag_rows[:, :, 4],
-                main=main,
+                main=m3,  # contiguous full-row view; writes cols [0, 384)
                 coord_off=0,
                 cells_off=4 * N_LIMBS,
             )
@@ -164,23 +171,26 @@ class G1ExpAir(Air):
             expected = bn254.g1_add(bn254.g1_mul(x, e), off)
             assert b_pt[i] == expected, "G1 trace generation mismatch vs oracle"
 
-        trace = main.reshape(n, NUM_MAIN)
-        periodic = pu.generate_periodic_pulse_witness(
+        trace = trace_full[:, :NUM_MAIN]
+        trace_full[:, NUM_MAIN : NUM_MAIN + 2] = pu.generate_periodic_pulse_witness(
             trace[:, START_FLAGS + 1],
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
         if self.io_binding == "pulse":
-            io_cols = pu.generate_pulse(n, self.pulse_positions())
+            trace_full[:, self.start_io_pulses : self.start_lookups] = (
+                pu.generate_pulse(n, self.pulse_positions())
+            )
         else:
             # pin is_final itself as periodic (period 512, pulse at 511)
-            io_cols = pu.generate_periodic_pulse_witness(
-                trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+            trace_full[:, self.start_final_periodic : self.start_lookups] = (
+                pu.generate_periodic_pulse_witness(
+                    trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+                )
             )
-        base = np.concatenate([trace, periodic, io_cols], axis=1)
-        rc_cols = self.rc_spec.generate(base)
-        trace_full = np.concatenate([base, rc_cols], axis=1)
-        assert trace_full.shape[1] == self.num_columns
+        trace_full[:, self.start_lookups :] = self.rc_spec.generate(
+            trace_full[:, : self.start_lookups]
+        )
 
         pi = []
         for i, (x, off, e) in enumerate(inputs):

@@ -208,11 +208,11 @@ def generate_logup_u16_range_check(
     range_max = 1 << 16
     assert n >= range_max and n & (n - 1) == 0
     table = _table(n, range_max)
-    counts = np.zeros(range_max, dtype=np.int64)
-    for c in target_cols:
-        col = trace_cols[:, c]
-        assert (col < range_max).all()
-        counts += np.bincount(col.astype(np.int64), minlength=range_max)
+    cols = trace_cols[:, target_cols]
+    assert (cols < range_max).all()
+    counts = np.bincount(
+        cols.astype(np.int64, copy=False).ravel(), minlength=range_max
+    )
     mult = np.zeros(n, dtype=np.uint64)
     mult[:range_max] = counts.astype(np.uint64)
     return np.stack([table, mult], axis=1)
