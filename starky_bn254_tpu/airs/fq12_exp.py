@@ -129,7 +129,12 @@ class Fq12ExpAir(Air):
             [fq_to_u32_limbs(e % (1 << 256)) for (_, _, e) in inputs], dtype=np.uint64
         )
         flag_rows = fl.generate_flag_columns(exp_limbs)
-        main = np.zeros((io, ROWS_PER_BLOCK, NUM_MAIN), dtype=np.uint64)
+        # one preallocated buffer, every section written in place (the
+        # concatenate assembly copied the full trace twice — see g1_exp.py)
+        trace_full = np.zeros((n, self.num_columns), dtype=np.uint64)
+        main = trace_full.reshape(io, ROWS_PER_BLOCK, self.num_columns)[
+            :, :, :NUM_MAIN
+        ]
         main[:, :, START_FLAGS:] = flag_rows
 
         a_val = [x for (x, _, _) in inputs]
@@ -193,22 +198,25 @@ class Fq12ExpAir(Air):
                 "Fq12 trace generation mismatch vs oracle"
             )
 
-        trace = main.reshape(n, NUM_MAIN)
-        periodic = pu.generate_periodic_pulse_witness(
+        trace = trace_full[:, :NUM_MAIN]
+        trace_full[:, NUM_MAIN : NUM_MAIN + 2] = pu.generate_periodic_pulse_witness(
             trace[:, START_FLAGS + 1],
             2 * fl.INPUT_LIMB_BITS,
             2 * fl.INPUT_LIMB_BITS - 2,
         )
         if self.io_binding == "pulse":
-            io_cols = pu.generate_pulse(n, self.pulse_positions())
-        else:
-            io_cols = pu.generate_periodic_pulse_witness(
-                trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+            trace_full[:, self.start_io_pulses : self.start_lookups] = (
+                pu.generate_pulse(n, self.pulse_positions())
             )
-        base = np.concatenate([trace, periodic, io_cols], axis=1)
-        rc_cols = self.rc_spec.generate(base)
-        trace_full = np.concatenate([base, rc_cols], axis=1)
-        assert trace_full.shape[1] == self.num_columns
+        else:
+            trace_full[:, self.start_final_periodic : self.start_lookups] = (
+                pu.generate_periodic_pulse_witness(
+                    trace[:, START_FLAGS], ROWS_PER_BLOCK, ROWS_PER_BLOCK - 1
+                )
+            )
+        trace_full[:, self.start_lookups :] = self.rc_spec.generate(
+            trace_full[:, : self.start_lookups]
+        )
 
         pi = []
         for i, (x, off, e) in enumerate(inputs):
