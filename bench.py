@@ -127,11 +127,22 @@ def full_bench() -> int:
     t_first = time.time() - t0
     _mark(f"first prove done in {t_first:.1f}s")
 
+    # steady-state throughput: NO TimingTree — its per-scope sync barriers
+    # serialize the async dispatch pipeline (each barrier is a D2H readback
+    # over the tunnel). prove() returns a fully-materialized numpy proof, so
+    # plain wall clock includes every real readback the protocol needs.
+    t0 = time.time()
+    proof = prove(air, trace_dev, pi, cfg)
+    t_prove = time.time() - t0
+    _mark(f"warm prove done in {t_prove:.1f}s")
+
+    # separate instrumented prove for the phase table (barriers make the
+    # per-phase numbers honest; its total exceeds t_prove by design)
     tt = TimingTree("prove", sync=True)
     t0 = time.time()
     proof = prove(air, trace_dev, pi, cfg, timing=tt)
-    t_prove = time.time() - t0
-    _mark(f"warm prove done in {t_prove:.1f}s")
+    t_prove_sync = time.time() - t0
+    _mark(f"instrumented prove done in {t_prove_sync:.1f}s")
 
     t0 = time.time()
     assert verify(air, proof, cfg)
@@ -166,6 +177,7 @@ def full_bench() -> int:
                     "pallas_sponge": pallas_sponge,
                     "prove_first_s": round(t_first, 3),
                     "prove_s": round(t_prove, 3),
+                    "prove_sync_s": round(t_prove_sync, 3),
                     "e2e_instances_per_s": round(e2e_per_s, 4),
                     "verify_s": round(t_verify, 3),
                     "verify_warm_s": round(t_verify_warm, 3),
