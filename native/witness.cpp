@@ -407,6 +407,28 @@ void pack_g1_cells(const uint16_t* lam, const ModOut& wz, const ModOut& wx,
     cell[k++] = wy.sign ? 1 : GL_P - 1;
 }
 
+// ---------------------------------------------------------------------------
+// Fq2 limb helpers (u^2 = -1): components as signed 16-limb int64 arrays
+// ---------------------------------------------------------------------------
+
+// (a0 + a1 u)(b0 + b1 u) = (a0b0 - a1b1) + (a0b1 + a1b0) u, wide polys
+void fq2_conv_rows(const int64_t a[2][N16], const int64_t b[2][N16],
+                   int64_t out[2][WIDE]) {
+    int64_t t00[WIDE], t11[WIDE], t01[WIDE], t10[WIDE];
+    conv16_row(a[0], b[0], t00);
+    conv16_row(a[1], b[1], t11);
+    conv16_row(a[0], b[1], t01);
+    conv16_row(a[1], b[0], t10);
+    for (int i = 0; i < WIDE; i++) {
+        out[0][i] = t00[i] - t11[i];
+        out[1][i] = t01[i] + t10[i];
+    }
+}
+
+void u16_to_i64(const uint16_t* in, int64_t* out) {
+    for (int i = 0; i < N16; i++) out[i] = in[i];
+}
+
 }  // namespace
 
 extern "C" {
@@ -808,6 +830,229 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
             final_bx[inst * N16 + i] = (uint16_t)bx[i];
             final_by[inst * N16 + i] = (uint16_t)by[i];
         }
+    }
+    return 0;
+}
+
+// pack one G2Output block [640 cells]: lam0 lam1 | newx0 newx1 newy0 newy1
+// | 2x (zero: qabs lo hi) | 4x (x/y: oar qabs lo hi) | 6 signs
+// (order of gadgets/g2.py zero_g2_output / g2_batch.py _pack_g2)
+static void pack_g2_cells(const int64_t lam[2][N16], const ModOut wz[2],
+                          const ModOut wx[2], const ModOut wy[2],
+                          uint64_t* cell) {
+    int k = 0;
+    for (int c = 0; c < 2; c++)
+        for (int i = 0; i < N16; i++) cell[k++] = (uint64_t)lam[c][i];
+    for (int c = 0; c < 2; c++)
+        for (int i = 0; i < N16; i++) cell[k++] = wx[c].out[i];
+    for (int c = 0; c < 2; c++)
+        for (int i = 0; i < N16; i++) cell[k++] = wy[c].out[i];
+    for (int c = 0; c < 2; c++) {
+        for (int i = 0; i < N16 + 1; i++) cell[k++] = wz[c].qabs[i];
+        for (int i = 0; i < WIDE; i++) cell[k++] = wz[c].lo[i];
+        for (int i = 0; i < WIDE; i++) cell[k++] = wz[c].hi[i];
+    }
+    const ModOut* xy[4] = {&wx[0], &wx[1], &wy[0], &wy[1]};
+    for (int t = 0; t < 4; t++) {
+        for (int i = 0; i < N16; i++) cell[k++] = xy[t]->oar[i];
+        for (int i = 0; i < N16 + 1; i++) cell[k++] = xy[t]->qabs[i];
+        for (int i = 0; i < WIDE; i++) cell[k++] = xy[t]->lo[i];
+        for (int i = 0; i < WIDE; i++) cell[k++] = xy[t]->hi[i];
+    }
+    cell[k++] = wz[0].sign ? 1 : GL_P - 1;
+    cell[k++] = wz[1].sign ? 1 : GL_P - 1;
+    cell[k++] = wx[0].sign ? 1 : GL_P - 1;
+    cell[k++] = wx[1].sign ? 1 : GL_P - 1;
+    cell[k++] = wy[0].sign ? 1 : GL_P - 1;
+    cell[k++] = wy[1].sign ? 1 : GL_P - 1;
+}
+
+// fq2 inverse of a canonical pair; returns nonzero on failure
+static int fq2_inv_rows(const int64_t a[2][N16], int64_t out[2][N16]) {
+    int64_t n0[WIDE], n1[WIDE], norm[WIDE];
+    conv16_row(a[0], a[0], n0);
+    conv16_row(a[1], a[1], n1);
+    for (int i = 0; i < WIDE; i++) norm[i] = n0[i] + n1[i];
+    uint16_t norm_red[N16], inv16[N16];
+    poly_mod_p(norm, WIDE, norm_red);
+    if (batch_fq_inv(1, norm_red, inv16)) return 1;
+    int64_t invl[N16];
+    u16_to_i64(inv16, invl);
+    int64_t c0[WIDE], c1[WIDE];
+    conv16_row(a[0], invl, c0);
+    conv16_row(a[1], invl, c1);
+    for (int i = 0; i < WIDE; i++) c1[i] = -c1[i];
+    uint16_t r0[N16], r1[N16];
+    poly_mod_p(c0, WIDE, r0);
+    poly_mod_p(c1, WIDE, r1);
+    u16_to_i64(r0, out[0]);
+    u16_to_i64(r1, out[1]);
+    return 0;
+}
+
+// shared tail of the G2 double/add witness: zero/new_x/new_y witnesses from
+// lam, the op's x (a for both ops), y, and the two prepared polynomials
+static int g2_finish(const int64_t lam[2][N16], const int64_t x[2][N16],
+                     const int64_t y[2][N16], const int64_t zero_pol[2][WIDE],
+                     const int64_t nx_pol[2][WIDE], ModOut wz[2], ModOut wx[2],
+                     ModOut wy[2]) {
+    for (int c = 0; c < 2; c++)
+        if (modular_witness_row(zero_pol[c], 1, &wz[c])) return 1;
+    for (int c = 0; c < 2; c++)
+        if (modular_witness_row(nx_pol[c], 0, &wx[c])) return 1;
+    int64_t diff[2][N16];
+    for (int c = 0; c < 2; c++)
+        for (int i = 0; i < N16; i++)
+            diff[c][i] = x[c][i] - (int64_t)wx[c].out[i];
+    int64_t lam_d[2][WIDE];
+    fq2_conv_rows(lam, diff, lam_d);
+    for (int c = 0; c < 2; c++) {
+        int64_t pol[WIDE];
+        for (int i = 0; i < WIDE; i++)
+            pol[i] = lam_d[c][i] - (i < N16 ? y[c][i] : 0);
+        if (modular_witness_row(pol, 0, &wy[c])) return 1;
+    }
+    return 0;
+}
+
+// Fused G2 double-and-add witness chain; same contract as g1_exp_chain but
+// coordinates are Fq2 pairs: ax0..by0 are [n][2][16] u16, the row's coord
+// block is 8*16 cells (ax0 ax1 ay0 ay1 bx0 bx1 by0 by1) and the cell block
+// is 640 cells (G2Output).
+int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
+                     const uint16_t* ay0, const uint16_t* bx0,
+                     const uint16_t* by0, const uint8_t* is_double,
+                     const uint8_t* bits, uint64_t* main_out,
+                     int64_t row_stride, int64_t coord_off, int64_t cells_off,
+                     uint16_t* final_bx, uint16_t* final_by) {
+    const int C2 = 2 * N16;
+    for (int64_t inst = 0; inst < n; inst++) {
+        int64_t ax[2][N16], ay[2][N16], bx[2][N16], by[2][N16];
+        for (int c = 0; c < 2; c++)
+            for (int i = 0; i < N16; i++) {
+                ax[c][i] = ax0[inst * C2 + c * N16 + i];
+                ay[c][i] = ay0[inst * C2 + c * N16 + i];
+                bx[c][i] = bx0[inst * C2 + c * N16 + i];
+                by[c][i] = by0[inst * C2 + c * N16 + i];
+            }
+        for (int64_t r = 0; r < rows; r++) {
+            uint64_t* row_base = main_out + (inst * rows + r) * row_stride;
+            uint64_t* coords = row_base + coord_off;
+            for (int c = 0; c < 2; c++)
+                for (int i = 0; i < N16; i++) {
+                    coords[c * N16 + i] = (uint64_t)ax[c][i];
+                    coords[C2 + c * N16 + i] = (uint64_t)ay[c][i];
+                    coords[2 * C2 + c * N16 + i] = (uint64_t)bx[c][i];
+                    coords[3 * C2 + c * N16 + i] = (uint64_t)by[c][i];
+                }
+            uint64_t* cell = row_base + cells_off;
+            int is_add = !is_double[r] && bits[inst * rows + r];
+            if (!is_double[r] && !is_add) {
+                std::memset(cell, 0, sizeof(uint64_t) * 640);
+                for (int s = 634; s < 640; s++) cell[s] = 1;
+                continue;
+            }
+            int64_t lam[2][N16], zero_pol[2][WIDE], nx_pol[2][WIDE];
+            ModOut wz[2], wx[2], wy[2];
+            int64_t err = inst * rows + r + 1;
+            if (is_double[r]) {
+                // lam = 3 x^2 * (2y)^-1 over Fq2
+                int64_t two_y[2][N16], ty_red[2][N16];
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < N16; i++) two_y[c][i] = 2 * ay[c][i];
+                uint16_t red[N16];
+                for (int c = 0; c < 2; c++) {
+                    poly_mod_p(two_y[c], N16, red);
+                    u16_to_i64(red, ty_red[c]);
+                }
+                int64_t inv2y[2][N16];
+                if (fq2_inv_rows(ty_red, inv2y)) return err;
+                int64_t x_sq[2][WIDE];
+                fq2_conv_rows(ax, ax, x_sq);
+                int64_t sq3[2][N16];
+                for (int c = 0; c < 2; c++) {
+                    int64_t t[WIDE];
+                    for (int i = 0; i < WIDE; i++) t[i] = 3 * x_sq[c][i];
+                    poly_mod_p(t, WIDE, red);
+                    u16_to_i64(red, sq3[c]);
+                }
+                int64_t lam_w[2][WIDE];
+                fq2_conv_rows(sq3, inv2y, lam_w);
+                for (int c = 0; c < 2; c++) {
+                    poly_mod_p(lam_w[c], WIDE, red);
+                    u16_to_i64(red, lam[c]);
+                }
+                int64_t lam_y[2][WIDE];
+                fq2_conv_rows(lam, ay, lam_y);
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < WIDE; i++)
+                        zero_pol[c][i] = 2 * lam_y[c][i] - 3 * x_sq[c][i];
+                int64_t lam_sq[2][WIDE];
+                fq2_conv_rows(lam, lam, lam_sq);
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < WIDE; i++)
+                        nx_pol[c][i] =
+                            lam_sq[c][i] - (i < N16 ? 2 * ax[c][i] : 0);
+                if (g2_finish(lam, ax, ay, zero_pol, nx_pol, wz, wx, wy))
+                    return err;
+                pack_g2_cells(lam, wz, wx, wy, cell);
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < N16; i++) {
+                        ax[c][i] = wx[c].out[i];
+                        ay[c][i] = wy[c].out[i];
+                    }
+            } else {
+                // lam = (by - ay) * (bx - ax)^-1 over Fq2
+                int64_t dx[2][N16], dy[2][N16], dx_red[2][N16],
+                    dy_red[2][N16];
+                uint16_t red[N16];
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < N16; i++) {
+                        dx[c][i] = bx[c][i] - ax[c][i];
+                        dy[c][i] = by[c][i] - ay[c][i];
+                    }
+                for (int c = 0; c < 2; c++) {
+                    poly_mod_p(dx[c], N16, red);
+                    u16_to_i64(red, dx_red[c]);
+                    poly_mod_p(dy[c], N16, red);
+                    u16_to_i64(red, dy_red[c]);
+                }
+                int64_t inv_dx[2][N16];
+                if (fq2_inv_rows(dx_red, inv_dx)) return err;  // x1==x2: bad
+                int64_t lam_w[2][WIDE];
+                fq2_conv_rows(dy_red, inv_dx, lam_w);
+                for (int c = 0; c < 2; c++) {
+                    poly_mod_p(lam_w[c], WIDE, red);
+                    u16_to_i64(red, lam[c]);
+                }
+                int64_t lam_dx[2][WIDE];
+                fq2_conv_rows(lam, dx, lam_dx);
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < WIDE; i++)
+                        zero_pol[c][i] =
+                            lam_dx[c][i] - (i < N16 ? dy[c][i] : 0);
+                int64_t lam_sq[2][WIDE];
+                fq2_conv_rows(lam, lam, lam_sq);
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < WIDE; i++)
+                        nx_pol[c][i] =
+                            lam_sq[c][i] -
+                            (i < N16 ? ax[c][i] + bx[c][i] : 0);
+                if (g2_finish(lam, ax, ay, zero_pol, nx_pol, wz, wx, wy))
+                    return err;
+                pack_g2_cells(lam, wz, wx, wy, cell);
+                for (int c = 0; c < 2; c++)
+                    for (int i = 0; i < N16; i++) {
+                        bx[c][i] = wx[c].out[i];
+                        by[c][i] = wy[c].out[i];
+                    }
+            }
+        }
+        for (int c = 0; c < 2; c++)
+            for (int i = 0; i < N16; i++) {
+                final_bx[inst * C2 + c * N16 + i] = (uint16_t)bx[c][i];
+                final_by[inst * C2 + c * N16 + i] = (uint16_t)by[c][i];
+            }
     }
     return 0;
 }

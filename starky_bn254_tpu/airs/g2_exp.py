@@ -157,7 +157,41 @@ class G2ExpAir(Air):
 
         from .. import native
 
-        if native.available():
+        if native.has_g2_chain():
+            # the whole row loop in ONE native call (see g1_exp.py twin)
+            def pt_limbs(sel):
+                return np.array(
+                    [
+                        [int_to_limbs(p[0]), int_to_limbs(p[1])]
+                        for p in sel
+                    ],
+                    dtype=np.uint64,
+                )  # [io, 2, 16]
+
+            m3 = trace_full.reshape(io, ROWS_PER_BLOCK, self.num_columns)
+            fbx, fby = native.g2_exp_chain(
+                pt_limbs([p[0] for (p, _, _) in inputs]),
+                pt_limbs([p[1] for (p, _, _) in inputs]),
+                pt_limbs([q[0] for (_, q, _) in inputs]),
+                pt_limbs([q[1] for (_, q, _) in inputs]),
+                is_double=flag_rows[0, :, 2],
+                bits=flag_rows[:, :, 4],
+                main=m3,
+                coord_off=0,
+                cells_off=8 * N_LIMBS,
+            )
+
+            def limb_int(arr):
+                return sum(int(v) << (16 * i) for i, v in enumerate(arr))
+
+            b_pt = [
+                (
+                    (limb_int(fbx[i, 0]), limb_int(fbx[i, 1])),
+                    (limb_int(fby[i, 0]), limb_int(fby[i, 1])),
+                )
+                for i in range(io)
+            ]
+        elif native.available():
             from ..gadgets import g2_batch as gb
 
             def coord_limbs(sel):

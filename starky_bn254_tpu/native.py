@@ -61,18 +61,21 @@ def _load():
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_uint16),
     ]
-    if hasattr(lib, "g1_exp_chain"):  # older prebuilt .so may lack it
-        u16p = ctypes.POINTER(ctypes.c_uint16)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.g1_exp_chain.restype = ctypes.c_int64
-        lib.g1_exp_chain.argtypes = [
-            ctypes.c_int64, ctypes.c_int64,   # n, rows
-            u16p, u16p, u16p, u16p,           # ax0, ay0, bx0, by0
-            u8p, u8p,                         # is_double, bits
-            ctypes.POINTER(ctypes.c_uint64),  # main_out
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # stride, offs
-            u16p, u16p,                       # final_bx, final_by
-        ]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    chain_sig = [
+        ctypes.c_int64, ctypes.c_int64,   # n, rows
+        u16p, u16p, u16p, u16p,           # ax0, ay0, bx0, by0
+        u8p, u8p,                         # is_double, bits
+        ctypes.POINTER(ctypes.c_uint64),  # main_out
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # stride, offs
+        u16p, u16p,                       # final_bx, final_by
+    ]
+    for chain in ("g1_exp_chain", "g2_exp_chain"):
+        if hasattr(lib, chain):  # older prebuilt .so may lack it
+            fn = getattr(lib, chain)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = chain_sig
     _LIB = lib
     return _LIB
 
@@ -167,6 +170,51 @@ def g1_exp_chain(
     )
     if rc != 0:
         raise ValueError(f"native g1 chain failed at (inst*rows+row)={rc - 1}")
+    return fbx.astype(np.uint64), fby.astype(np.uint64)
+
+
+def has_g2_chain() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "g2_exp_chain")
+
+
+def g2_exp_chain(
+    ax: np.ndarray,  # [n, 2, 16] u64 limbs (Fq2 component-major)
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    is_double: np.ndarray,  # [rows]
+    bits: np.ndarray,  # [n, rows]
+    main: np.ndarray,  # [n, rows, row_stride] u64 C-contiguous
+    coord_off: int,
+    cells_off: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fq2 twin of g1_exp_chain: the whole G2 double-and-add witness chain
+    in one call, coords (8x16 cells) + G2Output (640 cells) written straight
+    into `main`. Returns (final_bx, final_by) as [n, 2, 16] u64 limbs."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "g2_exp_chain")
+    n, rows, row_stride = main.shape
+    assert main.flags.c_contiguous and main.dtype == np.uint64
+    ax16 = np.ascontiguousarray(ax, dtype=np.uint16)
+    ay16 = np.ascontiguousarray(ay, dtype=np.uint16)
+    bx16 = np.ascontiguousarray(bx, dtype=np.uint16)
+    by16 = np.ascontiguousarray(by, dtype=np.uint16)
+    isd = np.ascontiguousarray(is_double, dtype=np.uint8)
+    bts = np.ascontiguousarray(bits, dtype=np.uint8)
+    fbx = np.zeros((n, 2, N_LIMBS), dtype=np.uint16)
+    fby = np.zeros((n, 2, N_LIMBS), dtype=np.uint16)
+    rc = lib.g2_exp_chain(
+        n, rows,
+        _ptr(ax16, ctypes.c_uint16), _ptr(ay16, ctypes.c_uint16),
+        _ptr(bx16, ctypes.c_uint16), _ptr(by16, ctypes.c_uint16),
+        _ptr(isd, ctypes.c_uint8), _ptr(bts, ctypes.c_uint8),
+        _ptr(main, ctypes.c_uint64),
+        row_stride, coord_off, cells_off,
+        _ptr(fbx, ctypes.c_uint16), _ptr(fby, ctypes.c_uint16),
+    )
+    if rc != 0:
+        raise ValueError(f"native g2 chain failed at (inst*rows+row)={rc - 1}")
     return fbx.astype(np.uint64), fby.astype(np.uint64)
 
 
