@@ -21,9 +21,19 @@ the claimed evaluations, and the mu-combination preserves that except with
 probability ~deg/|F_ext| per challenge (standard batched-FRI argument, the
 same RLC shape plonky2 uses inside one proof's opening batch).
 
-Requirements: all statements share the trace HEIGHT (same degree_bits) and
-config. Mixed families are fine — G1/G2/Fq12 statements of one protocol
-batch together as long as their traces are padded to one height.
+Requirements: statement heights must be the max height divided by a power
+of ARITY=4 (equal heights always work; e.g. 2^16 + 2^14 + 2^12 rows batch
+together, 2^15 does not — pad such a statement one factor of 2). Mixed
+families are fine — G1/G2/Fq12 statements of one protocol batch together.
+
+Mixed heights (the reference-L6 "different-height statements" gap): a
+statement at N_max/4^k commits its trace/aux/quotient LDEs on coset
+g^(4^k) — exactly the fold ladder's domain after k arity-4 folds — so its
+beta-batched opening polynomial is ADDED (mu-weighted) into the running
+fold values when the ladder reaches its size. The layer commitment then
+binds it, queries open its oracles at idx mod N_j (the ladder's own index
+at that layer), and the verifier injects the same recomputed values into
+its fold replay.
 """
 
 from __future__ import annotations
@@ -81,10 +91,28 @@ def prove_batch_fri(
 
     tt = timing if timing is not None else TimingTree("prove_batch")
     nc = cfg.num_challenges
-    n = items[0][1].shape[0]
-    assert all(t.shape[0] == n for _, t, _ in items), "one shared trace height"
+    n = max(t.shape[0] for _, t, _ in items)
     degree_bits = n.bit_length() - 1
     n_lde = n << cfg.fri.rate_bits
+    from .fri import ARITY as _ARITY
+
+    shifts: list[int] = []
+    for _, t, _ in items:
+        n_j = t.shape[0]
+        ratio = n // n_j
+        k_j = 0
+        while ratio > 1:
+            assert ratio % _ARITY == 0, (
+                f"statement height {n_j} must be max/{_ARITY}^k of {n} "
+                f"(pad odd-ratio statements)"
+            )
+            ratio //= _ARITY
+            k_j += 1
+        n_lde_j = n_j << cfg.fri.rate_bits
+        assert n_lde_j > (1 << cfg.fri.final_poly_bits) * cfg.fri.blowup, (
+            "statement too small: the fold ladder ends above its size"
+        )
+        shifts.append(pow(gl.GENERATOR, _ARITY**k_j, gl.P))
 
     # Bounded retained state (VERDICT r3 item 7): the shared FRI needs every
     # statement's oracles alive at query time, so when the SUMMED retained
@@ -98,14 +126,16 @@ def prove_batch_fri(
     from .logup import table_aux_width
 
     total_lde_bytes = 0
-    for air_j, _, _ in items:
+    for air_j, t_j, _ in items:
         aux_w_j = nc * (
             len(air_j.permutation_pairs())
             + table_aux_width(air_j.lookup_tables())
             + air_j.aux_extra_width()
         )
         total_lde_bytes += (
-            n_lde * (air_j.num_columns + aux_w_j + nc * QUOTIENT_CHUNKS) * 8
+            (t_j.shape[0] << cfg.fri.rate_bits)
+            * (air_j.num_columns + aux_w_j + nc * QUOTIENT_CHUNKS)
+            * 8
         )
     offload = total_lde_bytes > int(
         os.environ.get("STARKY_LDE_DEVICE_BYTES", 6 << 30)
@@ -116,12 +146,15 @@ def prove_batch_fri(
 
     for j, (air, trace, public_inputs) in enumerate(items):
         st: dict = {"air": air}
+        n_j = trace.shape[0]
+        shift_j = shifts[j]
+        st["n"], st["shift"] = n_j, shift_j
         pi_arr = np.asarray(public_inputs, dtype=np.uint64)
         st["pi"] = pi_arr
         challenger.observe_elements(pi_arr)
         with tt.scope(f"s{j} trace commit"):
             trace = jnp.asarray(trace)
-            trace_c = commit(trace, cfg, offload=offload or None)
+            trace_c = commit(trace, cfg, offload=offload or None, shift=shift_j)
         challenger.observe_cap(np.asarray(trace_c.tree.cap))
         st["trace_c"] = trace_c
 
@@ -146,7 +179,7 @@ def prove_batch_fri(
                 del parts
                 holder = [z_cols]
                 del z_cols  # ownership moves into commit (freed pre-concat)
-                z_c = commit(holder, cfg, offload=offload or None)
+                z_c = commit(holder, cfg, offload=offload or None, shift=shift_j)
             challenger.observe_cap(np.asarray(z_c.tree.cap))
         st["z_c"], st["gammas"] = z_c, gammas
         trace = None  # composition/openings read trace_c.lde
@@ -156,18 +189,18 @@ def prove_batch_fri(
         with tt.scope(f"s{j} composition+quotient"):
             qvals = evaluate_composition(
                 air, trace_c.lde, z_c.lde if z_c else None,
-                jnp.asarray(pi_arr), alphas, gammas, n, cfg,
+                jnp.asarray(pi_arr), alphas, gammas, n_j, cfg, shift=shift_j,
             )
-            q_coeffs = ntt.interpolate_coset(jnp.transpose(qvals), gl.GENERATOR)
+            q_coeffs = ntt.interpolate_coset(jnp.transpose(qvals), shift_j)
             q_chunk_coeffs = jnp.stack(
                 [
-                    q_coeffs[k * n : (k + 1) * n, c]
+                    q_coeffs[k * n_j : (k + 1) * n_j, c]
                     for c in range(nc)
                     for k in range(QUOTIENT_CHUNKS)
                 ],
                 axis=1,
             )
-            q_lde = ntt.lde_from_coeffs(q_chunk_coeffs, cfg.fri.rate_bits)
+            q_lde = ntt.lde_from_coeffs(q_chunk_coeffs, cfg.fri.rate_bits, shift_j)
             del qvals, q_coeffs, q_chunk_coeffs
             from .. import merkle
 
@@ -181,10 +214,10 @@ def prove_batch_fri(
         zeta = challenger.get_ext_challenge()
         st["zeta"] = zeta
         zeta_arr = jnp.asarray(np.array(zeta, dtype=np.uint64))
-        w_n = gl.primitive_root_of_unity(degree_bits)
+        w_n = gl.primitive_root_of_unity(n_j.bit_length() - 1)
         gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
         xs_ext = gl.ext_from_base(
-            jnp.asarray(_lde_selectors(n, cfg.fri.rate_bits)["xs"])
+            jnp.asarray(_lde_selectors(n_j, cfg.fri.rate_bits, shift_j)["xs"])
         )
         # inv_dens are NOT retained across statements (2 x [N, 2] device
         # arrays each): the combine loop below recomputes them per statement
@@ -193,13 +226,13 @@ def prove_batch_fri(
 
         gzeta = (zeta[0] * w_n % gl.P, zeta[1] * w_n % gl.P)
         with tt.scope(f"s{j} openings"):
-            trace_zeta = ntt.eval_from_lde(trace_c.lde, zeta, inv_den_zeta)
-            trace_gzeta = ntt.eval_from_lde(trace_c.lde, gzeta, inv_den_gzeta)
+            trace_zeta = ntt.eval_from_lde(trace_c.lde, zeta, inv_den_zeta, shift_j)
+            trace_gzeta = ntt.eval_from_lde(trace_c.lde, gzeta, inv_den_gzeta, shift_j)
             z_zeta = z_gzeta = None
             if z_c is not None:
-                z_zeta = ntt.eval_from_lde(z_c.lde, zeta, inv_den_zeta)
-                z_gzeta = ntt.eval_from_lde(z_c.lde, gzeta, inv_den_gzeta)
-            quotient_zeta = ntt.eval_from_lde(q_lde, zeta, inv_den_zeta)
+                z_zeta = ntt.eval_from_lde(z_c.lde, zeta, inv_den_zeta, shift_j)
+                z_gzeta = ntt.eval_from_lde(z_c.lde, gzeta, inv_den_gzeta, shift_j)
+            quotient_zeta = ntt.eval_from_lde(q_lde, zeta, inv_den_zeta, shift_j)
         del inv_den_zeta, inv_den_gzeta
         openings = StarkOpenings(
             trace_zeta=np.asarray(trace_zeta),
@@ -217,16 +250,20 @@ def prove_batch_fri(
     mu = challenger.get_ext_challenge()
     mu_np = np.array(mu, dtype=np.uint64)
 
-    xs_ext = gl.ext_from_base(
-        jnp.asarray(_lde_selectors(n, cfg.fri.rate_bits)["xs"])
-    )
-    w_n = gl.primitive_root_of_unity(degree_bits)
     with tt.scope("batch opening combine"):
         f_total = None
+        inject: dict[int, jnp.ndarray] = {}
         mu_pow = np.array([1, 0], dtype=np.uint64)
         for st in per:
             z_c, o = st["z_c"], st["openings"]
             zeta = st["zeta"]
+            n_j, shift_j = st["n"], st["shift"]
+            w_n = gl.primitive_root_of_unity(n_j.bit_length() - 1)
+            xs_ext = gl.ext_from_base(
+                jnp.asarray(
+                    _lde_selectors(n_j, cfg.fri.rate_bits, shift_j)["xs"]
+                )
+            )
             zeta_arr = jnp.asarray(np.array(zeta, dtype=np.uint64))
             gzeta_arr = gl.mul(zeta_arr, jnp.asarray(np.uint64(w_n)))
             inv_den_zeta = _ext_inv_x_minus(xs_ext, zeta_arr)
@@ -243,7 +280,13 @@ def prove_batch_fri(
             )
             with np.errstate(over="ignore"):
                 term = gl.ext_mul(f_j, jnp.asarray(mu_pow)[None, :])
-                f_total = term if f_total is None else gl.ext_add(f_total, term)
+                n_lde_j = n_j << cfg.fri.rate_bits
+                if n_j == n:
+                    f_total = term if f_total is None else gl.ext_add(f_total, term)
+                elif n_lde_j in inject:
+                    inject[n_lde_j] = gl.ext_add(inject[n_lde_j], term)
+                else:
+                    inject[n_lde_j] = term
                 mu_pow = gl.ext_mul(mu_pow, mu_np)
 
     oracles = []
@@ -255,7 +298,8 @@ def prove_batch_fri(
 
     with tt.scope("shared fri"):
         fri_proof = fri_prove(
-            f_total, gl.GENERATOR, oracles, challenger, cfg.fri, timing=tt
+            f_total, gl.GENERATOR, oracles, challenger, cfg.fri, timing=tt,
+            inject=inject,
         )
     tt.finish()
 
@@ -264,7 +308,7 @@ def prove_batch_fri(
     for j, st in enumerate(per):
         statements.append(
             StarkProof(
-                degree_bits=degree_bits,
+                degree_bits=st["n"].bit_length() - 1,
                 trace_cap=np.asarray(st["trace_c"].tree.cap),
                 z_cap=np.asarray(st["z_c"].tree.cap) if st["z_c"] else None,
                 quotient_cap=np.asarray(st["q_tree"].cap),
@@ -301,13 +345,23 @@ def _verify_batch_impl(airs, batch, cfg) -> bool:
     from .logup import table_aux_width
     from .verifier import _recompute_f
 
+    from .fri import ARITY as _ARITY
+
     nc = cfg.num_challenges
     stmts = batch.statements
     _require(len(airs) == len(stmts), "airs/statements length")
-    n = 1 << stmts[0].degree_bits
+    n = max(1 << s.degree_bits for s in stmts)
     n_lde = n << cfg.fri.rate_bits
-    _require(all(s.degree_bits == stmts[0].degree_bits for s in stmts),
-             "shared height")
+    shifts = []
+    for s in stmts:
+        ratio = n >> s.degree_bits
+        k_j = 0
+        while ratio > 1:
+            _require(ratio % _ARITY == 0,
+                     "statement height must be max/ARITY^k")
+            ratio //= _ARITY
+            k_j += 1
+        shifts.append(pow(gl.GENERATOR, _ARITY**k_j, gl.P))
 
     challenger = Challenger(parity=cfg.fri.parity)
     per = []
@@ -334,15 +388,17 @@ def _verify_batch_impl(airs, batch, cfg) -> bool:
     beta = challenger.get_ext_challenge()
     mu = challenger.get_ext_challenge()
 
-    # per-statement composition identity at zeta
-    w_n = gl.primitive_root_of_unity(stmts[0].degree_bits)
-    g_last = pow(w_n, n - 1, gl.P)
-    n_inv = pow(n, gl.P - 2, gl.P)
+    # per-statement composition identity at zeta (each over ITS trace
+    # subgroup H_{n_j}; the coset shift only affects LDE-domain math)
     one = np.array([1, 0], dtype=np.uint64)
     for p in per:
         air, s = p["air"], p["s"]
+        n_j = 1 << s.degree_bits
+        w_n = gl.primitive_root_of_unity(s.degree_bits)
+        g_last = pow(w_n, n_j - 1, gl.P)
+        n_inv = pow(n_j, gl.P - 2, gl.P)
         zeta_arr = np.array(p["zeta"], dtype=np.uint64)
-        zeta_n = gl.ext_pow_const(zeta_arr, n)
+        zeta_n = gl.ext_pow_const(zeta_arr, n_j)
         zh = gl.ext_sub(zeta_n, one)
         z_last_v = gl.ext_sub(zeta_arr, np.array((g_last, 0), dtype=np.uint64))
         l_first = gl.ext_mul(
@@ -362,7 +418,7 @@ def _verify_batch_impl(airs, batch, cfg) -> bool:
         for k in range(nc):
             q_zeta = q_open[k * QUOTIENT_CHUNKS]
             for jj in range(1, QUOTIENT_CHUNKS):
-                zeta_nj = gl.ext_pow_const(zeta_arr, n * jj)
+                zeta_nj = gl.ext_pow_const(zeta_arr, n_j * jj)
                 q_zeta = gl.ext_add(
                     q_zeta, gl.ext_mul(zeta_nj, q_open[k * QUOTIENT_CHUNKS + jj])
                 )
@@ -403,33 +459,38 @@ def _verify_batch_impl(airs, batch, cfg) -> bool:
     import jax.numpy as jnp_
 
     idx_np = np.array(indices, dtype=np.int64)
-    idx_j = jnp_.asarray(idx_np)
     caps = []
     for p in per:
         s = p["s"]
-        caps.append(s.trace_cap)
+        n_lde_j = (1 << s.degree_bits) << cfg.fri.rate_bits
+        caps.append((s.trace_cap, n_lde_j))
         if p["has_z"]:
-            caps.append(s.z_cap)
-        caps.append(s.quotient_cap)
+            caps.append((s.z_cap, n_lde_j))
+        caps.append((s.quotient_cap, n_lde_j))
     _require(
         len(fri.query_rounds[0].initial_leaves) == len(caps), "oracle count"
     )
-    for o, cap in enumerate(caps):
+    for o, (cap, n_lde_o) in enumerate(caps):
         leaves = jnp_.asarray(np.stack([qr.initial_leaves[o] for qr in fri.query_rounds]))
         paths = jnp_.asarray(np.stack([qr.initial_paths[o] for qr in fri.query_rounds]))
         _require(
-            verify_merkle_batch(leaves, idx_j, paths, jnp_.asarray(cap)),
+            verify_merkle_batch(
+                leaves, jnp_.asarray(idx_np % n_lde_o), paths,
+                jnp_.asarray(cap),
+            ),
             f"initial merkle check failed (oracle {o})",
         )
 
     # combined F at the query points: sum_j mu^j F_j
     f_total = None
+    inject: dict[int, np.ndarray] = {}
     mu_np = np.array(mu, dtype=np.uint64)
     mu_pow = np.array([1, 0], dtype=np.uint64)
     oracle_off = 0
-    for p in per:
+    for p, shift_j in zip(per, shifts):
         s, has_z = p["s"], p["has_z"]
         n_oracles = 3 if has_z else 2
+        n_lde_j = (1 << s.degree_bits) << cfg.fri.rate_bits
 
         class _View:
             """Adapter: _recompute_f reads proof.fri.query_rounds[*].initial_leaves
@@ -454,10 +515,16 @@ def _verify_batch_impl(airs, batch, cfg) -> bool:
 
         view.fri = _Fri()
         view.fri.query_rounds = rounds
-        f_j = _recompute_f(view, has_z, idx_np, np.array(p["zeta"], dtype=np.uint64),
-                           beta, n_lde, cfg)
+        f_j = _recompute_f(view, has_z, idx_np % n_lde_j,
+                           np.array(p["zeta"], dtype=np.uint64),
+                           beta, n_lde_j, cfg, shift=shift_j)
         term = gl.ext_mul(np.asarray(f_j), np.broadcast_to(mu_pow, np.asarray(f_j).shape))
-        f_total = term if f_total is None else gl.ext_add(f_total, term)
+        if n_lde_j == n_lde:
+            f_total = term if f_total is None else gl.ext_add(f_total, term)
+        elif n_lde_j in inject:
+            inject[n_lde_j] = gl.ext_add(inject[n_lde_j], term)
+        else:
+            inject[n_lde_j] = term
         mu_pow = gl.ext_mul(mu_pow, mu_np)
         oracle_off += n_oracles
 
@@ -473,7 +540,7 @@ def _verify_batch_impl(airs, batch, cfg) -> bool:
         fri_verify_query_layers(
             jnp_.asarray(f_total), idx_np, layer_leaves, layer_paths,
             fri.layer_caps, fri_betas, fri.final_coeffs, n_lde, gl.GENERATOR,
-            cfg.fri,
+            cfg.fri, inject=inject,
         ),
         "shared fri fold/final-poly check failed",
     )

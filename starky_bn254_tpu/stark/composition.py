@@ -364,11 +364,16 @@ def evaluate_composition(
     gammas: list[int],
     n: int,
     cfg: StarkConfig,
+    shift: int | None = None,
 ) -> jnp.ndarray:
     """Constraint composition over all LDE points: [nc, N] quotient values
-    (already divided by Z_H). Segmented + row-blocked; see module docstring."""
+    (already divided by Z_H). Segmented + row-blocked; see module docstring.
+    `shift`: the LDE coset's shift (mixed-height batches use g^(4^k))."""
+    from .. import goldilocks as _gl
     from .prover import _lde_selectors
 
+    if shift is None:
+        shift = _gl.GENERATOR
     n_lde = trace_lde.shape[0]
     has_z = z_lde is not None
     aux_width = z_lde.shape[1] if has_z else 0
@@ -377,7 +382,7 @@ def evaluate_composition(
     plan = get_plan(air, n, cfg, has_z, aux_width, n_lde)
     B, pad, nc = plan.B, plan.pad, plan.nc
 
-    sels = _lde_selectors(n, cfg.fri.rate_bits)
+    sels = _lde_selectors(n, cfg.fri.rate_bits, shift)
     a = jnp.asarray(np.array(alphas, dtype=np.uint64))
     g = jnp.asarray(np.array(gammas if gammas else [0] * nc, dtype=np.uint64))
     pi = jnp.asarray(public_inputs)

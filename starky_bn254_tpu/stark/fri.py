@@ -52,13 +52,22 @@ def fri_prove(
     cfg: FriConfig,
     timing=None,
     mesh=None,
+    inject: dict | None = None,
 ) -> FriProof:
+    """inject: {layer_size m: [m, 2] pre-weighted extension values} — a
+    mixed-height batch adds a smaller statement's opening polynomial into
+    the running fold values when the ladder reaches its size. The statement
+    committed its oracles on coset shift^(4^k), which IS the ladder's
+    layer-k domain, so the added values line up point-for-point and the
+    layer commitment binds them (stark/batch_prove.py)."""
     from ..utils.timing import TimingTree
 
     tt = timing if timing is not None else TimingTree("fri")
     n = f_values.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+    inject = dict(inject) if inject else {}
+    assert all(m < n for m in inject), "inject sizes must be below the top"
 
     values = f_values
     cur_shift = shift
@@ -69,6 +78,8 @@ def fri_prove(
 
     with tt.scope("commit/fold layers"):
         while m > (1 << cfg.final_poly_bits) * cfg.blowup:
+            if m in inject:
+                values = gl.ext_add(values, inject.pop(m))
             q = m // ARITY
             # quads: [F(x_j), F(i x_j), F(-x_j), F(-i x_j)] share one leaf
             pairs = jnp.concatenate(
@@ -102,6 +113,8 @@ def fri_prove(
                 )
             cur_shift = pow(cur_shift, ARITY, gl.P)
             m = q
+
+    assert not inject, f"unconsumed injections at sizes {list(inject)}"
 
     # final polynomial: interpolate the remaining values (componentwise base
     # NTT is valid for extension values since the NTT matrix is base-field).
@@ -146,8 +159,11 @@ def fri_prove(
         # quad) runs as ONE jitted program with ONE readback — the per-
         # (oracle|layer) dispatches cost ~600 ms of tunnel round trips at
         # the num_io=128 shape, ~14 dispatch+readback pairs at ~40 ms each
+        # per-oracle index: a mixed-height batch's smaller oracles open at
+        # idx mod their size — exactly the fold ladder's index at the layer
+        # where their statement was injected (idx_k = idx mod m_k)
         host_leaves = {
-            o: mat[idx_np]
+            o: mat[idx_np % mat.shape[0]]
             for o, (_, mat) in enumerate(oracles)
             if isinstance(mat, np.ndarray)
         }
@@ -204,8 +220,11 @@ def _extract_queries(idx, dev_mats, init_levels, layer_pairs, fold_levels):
             ix = ix >> 1
         return jnp.stack(sibs, axis=1)
 
-    leaves = tuple(m[idx] for m in dev_mats)
-    init_paths = tuple(paths(idx, lv) for lv in init_levels)
+    # per-oracle index (mixed-height batches: smaller oracle -> idx mod size)
+    leaves = tuple(m[idx % m.shape[0]] for m in dev_mats)
+    init_paths = tuple(
+        paths(idx % lv[0].shape[0] if lv else idx, lv) for lv in init_levels
+    )
     cur = idx
     layer_leaves, layer_paths = [], []
     for pairs, levels in zip(layer_pairs, fold_levels):
@@ -364,20 +383,28 @@ def fri_verify_query_layers(
     n: int,
     shift: int,
     cfg: FriConfig,
+    inject: dict | None = None,
 ) -> bool:
     """Batched fold-consistency check across all queries.
 
     All fold/final-poly arithmetic runs on HOST numpy (tiny [Q, 2] arrays;
     eager jax dispatch dominated warm verify); only the batched Merkle
-    hashing dispatches to the device inside verify_merkle_batch."""
+    hashing dispatches to the device inside verify_merkle_batch.
+
+    inject: {layer_size m: [Q, 2] pre-weighted F_j values at idx mod m} —
+    mirrors fri_prove's mixed-height injection: the expected value entering
+    the layer of size m gains the injected statement's contribution."""
     ok = True
     idx = indices.astype(np.int64)
     expected = np.asarray(f_at_idx)  # [Q, 2]
     m = n
     cur_shift = shift
+    inject = dict(inject) if inject else {}
     for k, (leaves, paths, cap) in enumerate(
         zip(layer_leaves, layer_paths, layer_caps)
     ):
+        if m in inject:
+            expected = gl.ext_add(expected, np.asarray(inject.pop(m)))
         leaves = np.asarray(leaves)
         q = m // ARITY
         j = idx % q

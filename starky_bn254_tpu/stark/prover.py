@@ -53,17 +53,25 @@ _SYNC_CELLS = 1 << 27
 from ..xnp import hard_sync  # noqa: E402  (barrier that actually waits)
 
 
-def commit(values, cfg: StarkConfig, offload: bool | None = None) -> Commitment:
+def commit(
+    values,
+    cfg: StarkConfig,
+    offload: bool | None = None,
+    shift: int = gl.GENERATOR,
+) -> Commitment:
     # A 1-element list transfers ownership: commit pops the array so the
     # caller's reference dies and the source can be freed before the LDE
     # concat (matters at multi-GB commitment widths).
+    # `shift`: LDE coset shift — mixed-height shared-FRI batches commit a
+    # statement at N_max/4^k on coset g^(4^k) so its opening polynomial
+    # lives exactly on the fold ladder's layer-k domain (stark/batch_prove).
     if isinstance(values, list):
         assert len(values) == 1
         values = values.pop()
     if values.size > _SYNC_CELLS or offload:
-        return _commit_streaming(values, cfg, offload)
+        return _commit_streaming(values, cfg, offload, shift)
     coeffs = ntt.interpolate_coeffs(values)
-    lde = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
+    lde = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits, shift)
     del coeffs
     n_lde = lde.shape[0]
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
@@ -75,7 +83,10 @@ def commit(values, cfg: StarkConfig, offload: bool | None = None) -> Commitment:
 
 
 def _commit_streaming(
-    values: jnp.ndarray, cfg: StarkConfig, offload: bool | None = None
+    values: jnp.ndarray,
+    cfg: StarkConfig,
+    offload: bool | None = None,
+    shift: int = gl.GENERATOR,
 ) -> Commitment:
     """Column-blocked commit for matrices whose single-graph INTT/LDE/tree
     programs exceed HBM (the [2^19-row, 404-col] G1 commit OOM'd even though
@@ -124,7 +135,7 @@ def _commit_streaming(
         blk = values[:, off : off + block_cols]
         coeffs = ntt.interpolate_coeffs(blk)
         hard_sync(coeffs)
-        lde_b = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits)
+        lde_b = ntt.lde_from_coeffs(coeffs, cfg.fri.rate_bits, shift)
         del coeffs
         hard_sync(lde_b)
         if offload:
@@ -253,6 +264,7 @@ def evaluate_composition(
     gammas: list[int],
     n: int,
     cfg: StarkConfig,
+    shift: int | None = None,
 ) -> jnp.ndarray:
     """Constraint composition over all LDE points: [nc, N] quotient values
     (divided by Z_H). Delegates to the segmented, row-blocked evaluator —
@@ -260,13 +272,15 @@ def evaluate_composition(
     replaced (Fq12-width graphs took hours of XLA compile)."""
     from .composition import evaluate_composition as _eval
 
-    return _eval(air, trace_lde, z_lde, public_inputs, alphas, gammas, n, cfg)
+    return _eval(
+        air, trace_lde, z_lde, public_inputs, alphas, gammas, n, cfg,
+        shift=shift,
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _lde_selectors(n: int, rate_bits: int) -> dict:
+def _lde_selectors(n: int, rate_bits: int, shift: int = gl.GENERATOR) -> dict:
     """Host-precomputed selector vectors over the LDE coset (exact ints)."""
-    shift = gl.GENERATOR
     n_lde = n << rate_bits
     log_lde = n_lde.bit_length() - 1
     w_big = gl.primitive_root_of_unity(log_lde)

@@ -245,6 +245,7 @@ def _recompute_f(
     beta,
     n_lde: int,
     cfg: StarkConfig,
+    shift: int = gl.GENERATOR,
 ) -> jnp.ndarray:
     """F(x_i) per query from initial leaf rows (mirrors _batch_opening_poly).
 
@@ -254,7 +255,7 @@ def _recompute_f(
     field ops in ~10 ms."""
     beta_arr = _ext_int(beta)
     w_big = gl.primitive_root_of_unity(n_lde.bit_length() - 1)
-    xs = gl.mul(_pow_per_query(w_big, idx_j, n_lde), np.uint64(gl.GENERATOR))
+    xs = gl.mul(_pow_per_query(w_big, idx_j, n_lde), np.uint64(shift))
     x_ext = gl.ext_from_base(xs)  # [Q, 2]
 
     has_z = bool(has_aux)

@@ -109,6 +109,60 @@ def test_batch_offload_byte_identical(batch, monkeypatch):
     assert verify_batch_fri(airs, proof2, CFG)
 
 
+def test_batch_mixed_heights_roundtrip():
+    """DIFFERENT-height statements in one shared FRI (the reference-L6
+    "one artifact attesting N different-height statements" gap): a
+    1024-row and a 256-row FqMul statement (ratio 4 = one fold layer)
+    batch into one ladder; the smaller one commits on coset g^4 and is
+    injected at its layer. Verify + tamper rejection on BOTH statements."""
+    airs, items = [], []
+    rng = np.random.default_rng(51)
+
+    def rfq():
+        return int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
+
+    for rows, n_ops in ((1024, 1000), (256, 250)):
+        air = FqMulAir(rows)
+        trace = air.generate_trace([(rfq(), rfq()) for _ in range(n_ops)])
+        airs.append(air)
+        items.append((air, jnp.asarray(trace), np.zeros(0, dtype=np.uint64)))
+    proof = prove_batch_fri(items, CFG)
+    assert proof.statements[0].degree_bits == 10
+    assert proof.statements[1].degree_bits == 8
+    assert verify_batch_fri(airs, proof, CFG)
+
+    # tampering the SMALL statement's opening must break the shared ladder
+    bad = copy.deepcopy(proof)
+    tz = bad.statements[1].openings.trace_zeta.copy()
+    tz[0, 0] = (int(tz[0, 0]) + 1) % ((1 << 64) - (1 << 32) + 1)
+    bad.statements[1].openings.trace_zeta = tz
+    with pytest.raises(VerificationError):
+        verify_batch_fri(airs, bad, CFG)
+    # and the large statement's cap
+    bad2 = copy.deepcopy(proof)
+    cap = bad2.statements[0].trace_cap.copy()
+    cap[0, 0] ^= 1
+    bad2.statements[0].trace_cap = cap
+    with pytest.raises(VerificationError):
+        verify_batch_fri(airs, bad2, CFG)
+
+
+def test_batch_mixed_heights_odd_ratio_rejected():
+    """Heights off the 4^k grid are refused up front (pad them instead)."""
+    rng = np.random.default_rng(53)
+
+    def rfq():
+        return int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
+
+    items = []
+    for rows in (1024, 512):  # ratio 2: not a power of ARITY=4
+        air = FqMulAir(rows)
+        trace = air.generate_trace([(rfq(), rfq()) for _ in range(200)])
+        items.append((air, jnp.asarray(trace), np.zeros(0, dtype=np.uint64)))
+    with pytest.raises(AssertionError):
+        prove_batch_fri(items, CFG)
+
+
 def test_batch_succinctness(batch):
     """The shared artifact must be materially smaller than N independent
     proofs: layer paths, final poly and PoW are paid once."""
