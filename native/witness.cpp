@@ -14,6 +14,10 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <atomic>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -711,7 +715,11 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                      const uint8_t* bits, uint64_t* main_out,
                      int64_t row_stride, int64_t coord_off, int64_t cells_off,
                      uint16_t* final_bx, uint16_t* final_by) {
-    for (int64_t inst = 0; inst < n; inst++) {
+    // instance chains are independent: split them across hardware threads
+    std::atomic<int64_t> err(0);
+    auto run_range = [&](int64_t inst_lo, int64_t inst_hi) {
+    for (int64_t inst = inst_lo;
+         inst < inst_hi && !err.load(std::memory_order_relaxed); inst++) {
         int64_t ax[N16], ay[N16], bx[N16], by[N16];
         for (int i = 0; i < N16; i++) {
             ax[i] = ax0[inst * N16 + i];
@@ -745,7 +753,7 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                 int64_t two_y[N16];
                 for (int i = 0; i < N16; i++) two_y[i] = 2 * ay[i];
                 poly_mod_p(two_y, N16, red);
-                if (batch_fq_inv(1, red, inv16)) return inst * rows + r + 1;
+                if (batch_fq_inv(1, red, inv16)) { err.store(inst * rows + r + 1); return; }
                 conv16_row(ax, ax, conv);  // ax^2
                 int64_t sq3[WIDE];
                 for (int i = 0; i < WIDE; i++) sq3[i] = 3 * conv[i];
@@ -764,18 +772,18 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                 conv16_row(laml, ay, conv2);
                 for (int i = 0; i < WIDE; i++)
                     pol[i] = 2 * conv2[i] - 3 * conv[i];
-                if (modular_witness_row(pol, 1, &wz)) return inst * rows + r + 1;
+                if (modular_witness_row(pol, 1, &wz)) { err.store(inst * rows + r + 1); return; }
                 // new_x: conv(lam, lam) - 2*ax
                 conv16_row(laml, laml, pol);
                 for (int i = 0; i < N16; i++) pol[i] -= 2 * ax[i];
-                if (modular_witness_row(pol, 0, &wx)) return inst * rows + r + 1;
+                if (modular_witness_row(pol, 0, &wx)) { err.store(inst * rows + r + 1); return; }
                 // new_y: conv(lam, ax - new_x) - ay
                 int64_t diff[N16];
                 for (int i = 0; i < N16; i++)
                     diff[i] = ax[i] - (int64_t)wx.out[i];
                 conv16_row(laml, diff, pol);
                 for (int i = 0; i < N16; i++) pol[i] -= ay[i];
-                if (modular_witness_row(pol, 0, &wy)) return inst * rows + r + 1;
+                if (modular_witness_row(pol, 0, &wy)) { err.store(inst * rows + r + 1); return; }
                 pack_g1_cells(lam, wz, wx, wy, cell);
                 for (int i = 0; i < N16; i++) {
                     ax[i] = wx.out[i];
@@ -791,8 +799,8 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                 poly_mod_p(dx, N16, red);
                 int nz = 0;
                 for (int i = 0; i < N16; i++) nz |= red[i];
-                if (!nz) return inst * rows + r + 1;  // equal x: degenerate
-                if (batch_fq_inv(1, red, inv16)) return inst * rows + r + 1;
+                if (!nz) { err.store(inst * rows + r + 1); return; }  // equal x: degenerate
+                if (batch_fq_inv(1, red, inv16)) { err.store(inst * rows + r + 1); return; }
                 uint16_t dy_red[N16];
                 poly_mod_p(dy, N16, dy_red);
                 int64_t dyl[N16], invl[N16];
@@ -807,18 +815,18 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                 // zero: conv(lam, dx) - dy
                 conv16_row(laml, dx, pol);
                 for (int i = 0; i < N16; i++) pol[i] -= dy[i];
-                if (modular_witness_row(pol, 1, &wz)) return inst * rows + r + 1;
+                if (modular_witness_row(pol, 1, &wz)) { err.store(inst * rows + r + 1); return; }
                 // new_x: conv(lam, lam) - (ax + bx)
                 conv16_row(laml, laml, pol);
                 for (int i = 0; i < N16; i++) pol[i] -= ax[i] + bx[i];
-                if (modular_witness_row(pol, 0, &wx)) return inst * rows + r + 1;
+                if (modular_witness_row(pol, 0, &wx)) { err.store(inst * rows + r + 1); return; }
                 // new_y: conv(lam, ax - new_x) - ay
                 int64_t diff[N16];
                 for (int i = 0; i < N16; i++)
                     diff[i] = ax[i] - (int64_t)wx.out[i];
                 conv16_row(laml, diff, pol);
                 for (int i = 0; i < N16; i++) pol[i] -= ay[i];
-                if (modular_witness_row(pol, 0, &wy)) return inst * rows + r + 1;
+                if (modular_witness_row(pol, 0, &wy)) { err.store(inst * rows + r + 1); return; }
                 pack_g1_cells(lam, wz, wx, wy, cell);
                 for (int i = 0; i < N16; i++) {
                     bx[i] = wx.out[i];
@@ -831,7 +839,22 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
             final_by[inst * N16 + i] = (uint16_t)by[i];
         }
     }
-    return 0;
+    };  // run_range
+    int64_t nt = std::min<int64_t>(
+        n, std::max(1u, std::thread::hardware_concurrency()));
+    if (nt <= 1) {
+        run_range(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (n + nt - 1) / nt;
+        for (int64_t t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(run_range, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return err.load();
 }
 
 // pack one G2Output block [640 cells]: lam0 lam1 | newx0 newx1 newy0 newy1
@@ -926,7 +949,10 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                      int64_t row_stride, int64_t coord_off, int64_t cells_off,
                      uint16_t* final_bx, uint16_t* final_by) {
     const int C2 = 2 * N16;
-    for (int64_t inst = 0; inst < n; inst++) {
+    std::atomic<int64_t> err(0);
+    auto run_range = [&](int64_t inst_lo, int64_t inst_hi) {
+    for (int64_t inst = inst_lo;
+         inst < inst_hi && !err.load(std::memory_order_relaxed); inst++) {
         int64_t ax[2][N16], ay[2][N16], bx[2][N16], by[2][N16];
         for (int c = 0; c < 2; c++)
             for (int i = 0; i < N16; i++) {
@@ -954,7 +980,7 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
             }
             int64_t lam[2][N16], zero_pol[2][WIDE], nx_pol[2][WIDE];
             ModOut wz[2], wx[2], wy[2];
-            int64_t err = inst * rows + r + 1;
+            const int64_t ecode = inst * rows + r + 1;
             if (is_double[r]) {
                 // lam = 3 x^2 * (2y)^-1 over Fq2
                 int64_t two_y[2][N16], ty_red[2][N16];
@@ -966,7 +992,7 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                     u16_to_i64(red, ty_red[c]);
                 }
                 int64_t inv2y[2][N16];
-                if (fq2_inv_rows(ty_red, inv2y)) return err;
+                if (fq2_inv_rows(ty_red, inv2y)) { err.store(ecode); return; }
                 int64_t x_sq[2][WIDE];
                 fq2_conv_rows(ax, ax, x_sq);
                 int64_t sq3[2][N16];
@@ -993,8 +1019,10 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                     for (int i = 0; i < WIDE; i++)
                         nx_pol[c][i] =
                             lam_sq[c][i] - (i < N16 ? 2 * ax[c][i] : 0);
-                if (g2_finish(lam, ax, ay, zero_pol, nx_pol, wz, wx, wy))
-                    return err;
+                if (g2_finish(lam, ax, ay, zero_pol, nx_pol, wz, wx, wy)) {
+                    err.store(ecode);
+                    return;
+                }
                 pack_g2_cells(lam, wz, wx, wy, cell);
                 for (int c = 0; c < 2; c++)
                     for (int i = 0; i < N16; i++) {
@@ -1018,7 +1046,7 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                     u16_to_i64(red, dy_red[c]);
                 }
                 int64_t inv_dx[2][N16];
-                if (fq2_inv_rows(dx_red, inv_dx)) return err;  // x1==x2: bad
+                if (fq2_inv_rows(dx_red, inv_dx)) { err.store(ecode); return; }  // x1==x2
                 int64_t lam_w[2][WIDE];
                 fq2_conv_rows(dy_red, inv_dx, lam_w);
                 for (int c = 0; c < 2; c++) {
@@ -1038,8 +1066,10 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                         nx_pol[c][i] =
                             lam_sq[c][i] -
                             (i < N16 ? ax[c][i] + bx[c][i] : 0);
-                if (g2_finish(lam, ax, ay, zero_pol, nx_pol, wz, wx, wy))
-                    return err;
+                if (g2_finish(lam, ax, ay, zero_pol, nx_pol, wz, wx, wy)) {
+                    err.store(ecode);
+                    return;
+                }
                 pack_g2_cells(lam, wz, wx, wy, cell);
                 for (int c = 0; c < 2; c++)
                     for (int i = 0; i < N16; i++) {
@@ -1054,7 +1084,22 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
                 final_by[inst * C2 + c * N16 + i] = (uint16_t)by[c][i];
             }
     }
-    return 0;
+    };  // run_range
+    int64_t nt = std::min<int64_t>(
+        n, std::max(1u, std::thread::hardware_concurrency()));
+    if (nt <= 1) {
+        run_range(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (n + nt - 1) / nt;
+        for (int64_t t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(run_range, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return err.load();
 }
 
 }  // extern "C"

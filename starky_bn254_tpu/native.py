@@ -38,7 +38,8 @@ def _load():
         try:
             tmp = so + ".build"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src],
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-pthread", "-o", tmp, src],
                 check=True,
                 capture_output=True,
             )
