@@ -938,6 +938,216 @@ static int g2_finish(const int64_t lam[2][N16], const int64_t x[2][N16],
     return 0;
 }
 
+// Fused Fq exponentiation witness chain: per row ONE modular multiply
+// (square on a-rows, conditional multiply into b on bit rows). Coord block
+// = 2*16 cells (a, b); cell block = FqOutput 112 cells
+// [out(16) oar(16) qabs(17) lo(31) hi(31) sign(1)].
+int64_t fq_exp_chain(int64_t n, int64_t rows, const uint16_t* a0,
+                     const uint16_t* b0, const uint8_t* is_square,
+                     const uint8_t* bits, uint64_t* main_out,
+                     int64_t row_stride, int64_t coord_off, int64_t cells_off,
+                     uint16_t* final_b) {
+    std::atomic<int64_t> err(0);
+    auto run_range = [&](int64_t inst_lo, int64_t inst_hi) {
+        for (int64_t inst = inst_lo;
+             inst < inst_hi && !err.load(std::memory_order_relaxed); inst++) {
+            int64_t a[N16], b[N16];
+            for (int i = 0; i < N16; i++) {
+                a[i] = a0[inst * N16 + i];
+                b[i] = b0[inst * N16 + i];
+            }
+            for (int64_t r = 0; r < rows; r++) {
+                uint64_t* row_base =
+                    main_out + (inst * rows + r) * row_stride;
+                uint64_t* coords = row_base + coord_off;
+                for (int i = 0; i < N16; i++) {
+                    coords[i] = (uint64_t)a[i];
+                    coords[N16 + i] = (uint64_t)b[i];
+                }
+                uint64_t* cell = row_base + cells_off;
+                int is_mul = !is_square[r] && bits[inst * rows + r];
+                if (!is_square[r] && !is_mul) {
+                    std::memset(cell, 0, sizeof(uint64_t) * 112);
+                    cell[111] = 1;  // quot_sign default
+                    continue;
+                }
+                int64_t pol[WIDE];
+                conv16_row(a, is_square[r] ? a : b, pol);
+                ModOut w;
+                if (modular_witness_row(pol, 0, &w)) {
+                    err.store(inst * rows + r + 1);
+                    return;
+                }
+                int k = 0;
+                for (int i = 0; i < N16; i++) cell[k++] = w.out[i];
+                for (int i = 0; i < N16; i++) cell[k++] = w.oar[i];
+                for (int i = 0; i < N16 + 1; i++) cell[k++] = w.qabs[i];
+                for (int i = 0; i < WIDE; i++) cell[k++] = w.lo[i];
+                for (int i = 0; i < WIDE; i++) cell[k++] = w.hi[i];
+                cell[k++] = w.sign ? 1 : GL_P - 1;
+                int64_t* dst = is_square[r] ? a : b;
+                for (int i = 0; i < N16; i++) dst[i] = w.out[i];
+            }
+            for (int i = 0; i < N16; i++)
+                final_b[inst * N16 + i] = (uint16_t)b[i];
+        }
+    };
+    int64_t nt = std::min<int64_t>(
+        n, std::max(1u, std::thread::hardware_concurrency()));
+    if (nt <= 1) {
+        run_range(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (n + nt - 1) / nt;
+        for (int64_t t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(run_range, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return err.load();
+}
+
+// Fused Fq12 exponentiation witness chain. Values are [12][16] limb
+// vectors (MyFq12 coefficient order); one multiplication = the 6x6 Fq2
+// schoolbook with the xi = 9+u fold-down (reference fields/fq12/mul.rs:
+// 24-87) into 12 wide polys + 12 modular witnesses. Coord block = 24*16
+// cells (a, b); cell block = Fq12Output 1344 cells
+// [12x out | 12x (oar qabs lo hi) | 12 signs].
+int64_t fq12_exp_chain(int64_t n, int64_t rows, const uint16_t* a0,
+                       const uint16_t* b0, const uint8_t* is_square,
+                       const uint8_t* bits, uint64_t* main_out,
+                       int64_t row_stride, int64_t coord_off,
+                       int64_t cells_off, uint16_t* final_b) {
+    const int V = 12 * N16;  // cells per Fq12 value
+    std::atomic<int64_t> err(0);
+    auto run_range = [&](int64_t inst_lo, int64_t inst_hi) {
+        // one multiplication's working set (heap: ~36 KB of wide polys)
+        std::vector<int64_t> ab(12 * 12 * WIDE);
+        std::vector<int64_t> re(11 * WIDE), im(11 * WIDE);
+        std::vector<int64_t> wides(12 * WIDE);
+        ModOut w[12];
+        for (int64_t inst = inst_lo;
+             inst < inst_hi && !err.load(std::memory_order_relaxed); inst++) {
+            int64_t a[12][N16], b[12][N16];
+            for (int c = 0; c < 12; c++)
+                for (int i = 0; i < N16; i++) {
+                    a[c][i] = a0[inst * V + c * N16 + i];
+                    b[c][i] = b0[inst * V + c * N16 + i];
+                }
+            for (int64_t r = 0; r < rows; r++) {
+                uint64_t* row_base =
+                    main_out + (inst * rows + r) * row_stride;
+                uint64_t* coords = row_base + coord_off;
+                for (int c = 0; c < 12; c++)
+                    for (int i = 0; i < N16; i++) {
+                        coords[c * N16 + i] = (uint64_t)a[c][i];
+                        coords[V + c * N16 + i] = (uint64_t)b[c][i];
+                    }
+                uint64_t* cell = row_base + cells_off;
+                int is_mul = !is_square[r] && bits[inst * rows + r];
+                if (!is_square[r] && !is_mul) {
+                    std::memset(cell, 0, sizeof(uint64_t) * 1344);
+                    for (int s = 1332; s < 1344; s++) cell[s] = 1;
+                    continue;
+                }
+                const auto rhs = is_square[r] ? a : b;
+                // 144 convolutions a_i * rhs_j
+                for (int i = 0; i < 12; i++)
+                    for (int j = 0; j < 12; j++)
+                        conv16_row(a[i], rhs[j],
+                                   ab.data() + (i * 12 + j) * WIDE);
+                std::memset(re.data(), 0, re.size() * sizeof(int64_t));
+                std::memset(im.data(), 0, im.size() * sizeof(int64_t));
+                for (int i = 0; i < 6; i++)
+                    for (int j = 0; j < 6; j++) {
+                        int k = i + j;
+                        const int64_t* rr = ab.data() + (i * 12 + j) * WIDE;
+                        const int64_t* ii2 =
+                            ab.data() + ((i + 6) * 12 + (j + 6)) * WIDE;
+                        const int64_t* ri =
+                            ab.data() + (i * 12 + (j + 6)) * WIDE;
+                        const int64_t* ir =
+                            ab.data() + ((i + 6) * 12 + j) * WIDE;
+                        int64_t* rk = re.data() + k * WIDE;
+                        int64_t* ik = im.data() + k * WIDE;
+                        for (int t = 0; t < WIDE; t++) {
+                            rk[t] += rr[t] - ii2[t];
+                            ik[t] += ri[t] + ir[t];
+                        }
+                    }
+                // xi = 9 + u fold-down into 12 wide polys
+                const int64_t XI = 9;
+                for (int i = 0; i < 6; i++) {
+                    int64_t* o = wides.data() + i * WIDE;
+                    const int64_t* r0 = re.data() + i * WIDE;
+                    if (i < 5) {
+                        const int64_t* r6 = re.data() + (i + 6) * WIDE;
+                        const int64_t* i6 = im.data() + (i + 6) * WIDE;
+                        for (int t = 0; t < WIDE; t++)
+                            o[t] = r0[t] + XI * r6[t] - i6[t];
+                    } else {
+                        for (int t = 0; t < WIDE; t++) o[t] = r0[t];
+                    }
+                }
+                for (int i = 0; i < 6; i++) {
+                    int64_t* o = wides.data() + (6 + i) * WIDE;
+                    const int64_t* i0 = im.data() + i * WIDE;
+                    if (i < 5) {
+                        const int64_t* r6 = re.data() + (i + 6) * WIDE;
+                        const int64_t* i6 = im.data() + (i + 6) * WIDE;
+                        for (int t = 0; t < WIDE; t++)
+                            o[t] = i0[t] + r6[t] + XI * i6[t];
+                    } else {
+                        for (int t = 0; t < WIDE; t++) o[t] = i0[t];
+                    }
+                }
+                int bad = 0;
+                for (int c = 0; c < 12 && !bad; c++)
+                    bad = modular_witness_row(wides.data() + c * WIDE, 0,
+                                              &w[c]);
+                if (bad) {
+                    err.store(inst * rows + r + 1);
+                    return;
+                }
+                int k = 0;
+                for (int c = 0; c < 12; c++)
+                    for (int i = 0; i < N16; i++) cell[k++] = w[c].out[i];
+                for (int c = 0; c < 12; c++) {
+                    for (int i = 0; i < N16; i++) cell[k++] = w[c].oar[i];
+                    for (int i = 0; i < N16 + 1; i++) cell[k++] = w[c].qabs[i];
+                    for (int i = 0; i < WIDE; i++) cell[k++] = w[c].lo[i];
+                    for (int i = 0; i < WIDE; i++) cell[k++] = w[c].hi[i];
+                }
+                for (int c = 0; c < 12; c++)
+                    cell[k++] = w[c].sign ? 1 : GL_P - 1;
+                auto& dst = is_square[r] ? a : b;
+                for (int c = 0; c < 12; c++)
+                    for (int i = 0; i < N16; i++) dst[c][i] = w[c].out[i];
+            }
+            for (int c = 0; c < 12; c++)
+                for (int i = 0; i < N16; i++)
+                    final_b[inst * V + c * N16 + i] = (uint16_t)b[c][i];
+        }
+    };
+    int64_t nt = std::min<int64_t>(
+        n, std::max(1u, std::thread::hardware_concurrency()));
+    if (nt <= 1) {
+        run_range(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (n + nt - 1) / nt;
+        for (int64_t t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(run_range, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return err.load();
+}
+
 // Fused G2 double-and-add witness chain; same contract as g1_exp_chain but
 // coordinates are Fq2 pairs: ax0..by0 are [n][2][16] u16, the row's coord
 // block is 8*16 cells (ax0 ax1 ay0 ay1 bx0 bx1 by0 by1) and the cell block

@@ -141,7 +141,28 @@ class Fq12ExpAir(Air):
         b_val = [off for (_, off, _) in inputs]
         from .. import native
 
-        if native.available():
+        if native.has_exp_chain("fq12_exp_chain"):
+            # whole 512-row double-and-add loop in ONE native call
+            # (see g1_exp.py / fq_exp.py twins)
+            def to_arr(vals):
+                return np.array(
+                    [[int_to_limbs(v) for v in f.to_fq_list()] for f in vals],
+                    dtype=np.uint64,
+                )
+
+            from ..utils.conversions import limbs_to_int as _l2i
+
+            m3 = trace_full.reshape(io, ROWS_PER_BLOCK, self.num_columns)
+            fbv = native.exp_chain(
+                "fq12_exp_chain", to_arr(a_val), to_arr(b_val),
+                is_square=flag_rows[0, :, 2], bits=flag_rows[:, :, 4],
+                main=m3, coord_off=0, cells_off=24 * N_LIMBS,
+            )
+            b_val = [
+                bn254.Fq12.from_fq_list([_l2i(fbv[i, k]) for k in range(12)])
+                for i in range(io)
+            ]
+        elif native.available():
             from ..gadgets import fq12_batch as fb
 
             def to_arr(vals):

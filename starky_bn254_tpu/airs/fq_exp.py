@@ -182,7 +182,18 @@ class FqExpAir(Air):
 
         from .. import native
 
-        if native.available():
+        if native.has_exp_chain("fq_exp_chain"):
+            # the whole row loop in ONE native call (see g1_exp.py twin)
+            al = np.array([int_to_limbs(x) for (x, _, _) in inputs], dtype=np.uint64)
+            bl = np.array([int_to_limbs(o) for (_, o, _) in inputs], dtype=np.uint64)
+            m3 = trace_full.reshape(io, ROWS_PER_BLOCK, self.num_columns)
+            fb = native.exp_chain(
+                "fq_exp_chain", al, bl,
+                is_square=flag_rows[0, :, 2], bits=flag_rows[:, :, 4],
+                main=m3, coord_off=0, cells_off=2 * N_LIMBS,
+            )
+            b_int = [limbs_to_int(fb[i]) for i in range(io)]
+        elif native.available():
             from ..gadgets import g1_batch as gb
 
             al = np.array([int_to_limbs(x) for (x, _, _) in inputs], dtype=np.uint64)

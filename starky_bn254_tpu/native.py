@@ -77,6 +77,19 @@ def _load():
             fn = getattr(lib, chain)
             fn.restype = ctypes.c_int64
             fn.argtypes = chain_sig
+    fq_sig = [
+        ctypes.c_int64, ctypes.c_int64,   # n, rows
+        u16p, u16p,                       # a0, b0
+        u8p, u8p,                         # is_square, bits
+        ctypes.POINTER(ctypes.c_uint64),  # main_out
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # stride, offs
+        u16p,                             # final_b
+    ]
+    for chain in ("fq_exp_chain", "fq12_exp_chain"):
+        if hasattr(lib, chain):
+            fn = getattr(lib, chain)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = fq_sig
     _LIB = lib
     return _LIB
 
@@ -217,6 +230,47 @@ def g2_exp_chain(
     if rc != 0:
         raise ValueError(f"native g2 chain failed at (inst*rows+row)={rc - 1}")
     return fbx.astype(np.uint64), fby.astype(np.uint64)
+
+
+def has_exp_chain(name: str) -> bool:
+    """name: 'fq_exp_chain' | 'fq12_exp_chain'."""
+    lib = _load()
+    return lib is not None and hasattr(lib, name)
+
+
+def exp_chain(
+    name: str,  # 'fq_exp_chain' | 'fq12_exp_chain'
+    a: np.ndarray,  # [n, 16] (fq) or [n, 12, 16] (fq12) u64 limbs
+    b: np.ndarray,
+    is_square: np.ndarray,  # [rows]
+    bits: np.ndarray,  # [n, rows]
+    main: np.ndarray,  # [n, rows, row_stride] u64 C-contiguous
+    coord_off: int,
+    cells_off: int,
+) -> np.ndarray:
+    """Runs an entire square-and-multiply witness chain (Fq or Fq12) in one
+    C++ call, writing coords + output cells straight into `main`. Returns
+    final_b (the proven outputs) with a's shape."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, name)
+    n, rows, row_stride = main.shape
+    assert main.flags.c_contiguous and main.dtype == np.uint64
+    a16 = np.ascontiguousarray(a, dtype=np.uint16)
+    b16 = np.ascontiguousarray(b, dtype=np.uint16)
+    isq = np.ascontiguousarray(is_square, dtype=np.uint8)
+    bts = np.ascontiguousarray(bits, dtype=np.uint8)
+    fb = np.zeros_like(b16)
+    rc = getattr(lib, name)(
+        n, rows,
+        _ptr(a16, ctypes.c_uint16), _ptr(b16, ctypes.c_uint16),
+        _ptr(isq, ctypes.c_uint8), _ptr(bts, ctypes.c_uint8),
+        _ptr(main, ctypes.c_uint64),
+        row_stride, coord_off, cells_off,
+        _ptr(fb, ctypes.c_uint16),
+    )
+    if rc != 0:
+        raise ValueError(f"native {name} failed at (inst*rows+row)={rc - 1}")
+    return fb.astype(np.uint64)
 
 
 def batch_fq_inv(limbs: np.ndarray) -> np.ndarray:

@@ -131,3 +131,58 @@ def test_fq12_batch_trace_matches_scalar():
         native.available = orig
     assert np.array_equal(pi_fast, pi_slow)
     assert np.array_equal(t_fast, t_slow)
+
+
+def test_fq_exp_chain_trace_matches_batch():
+    """Fused C++ fq_exp_chain writes the exact trace the row-loop batch
+    path produces (which itself is pinned against the scalar path)."""
+    from starky_bn254_tpu.airs.fq_exp import FqExpAir
+
+    if not native.has_exp_chain("fq_exp_chain"):
+        pytest.skip("native fq_exp_chain unavailable")
+
+    def rfq():
+        return int.from_bytes(RNG.bytes(40), "little") % bn254.P_BN
+
+    inputs = [
+        (rfq(), rfq(), int.from_bytes(RNG.bytes(32), "little")) for _ in range(2)
+    ]
+    air = FqExpAir(2, range_check="split")
+    t_fast, pi_fast = air.generate_trace_and_pi(inputs)
+    orig = native.has_exp_chain
+    try:
+        native.has_exp_chain = lambda name: False
+        t_slow, pi_slow = air.generate_trace_and_pi(inputs)
+    finally:
+        native.has_exp_chain = orig
+    assert np.array_equal(pi_fast, pi_slow)
+    assert np.array_equal(t_fast, t_slow)
+
+
+def test_fq12_exp_chain_trace_matches_batch():
+    """Fused C++ fq12_exp_chain (144-conv schoolbook + xi-fold in C++)
+    byte-matches the per-row fq12_mul_cells_batch path."""
+    from starky_bn254_tpu.airs.fq12_exp import Fq12ExpAir
+
+    if not native.has_exp_chain("fq12_exp_chain"):
+        pytest.skip("native fq12_exp_chain unavailable")
+
+    def rfq12():
+        return bn254.Fq12.from_fq_list(
+            [int.from_bytes(RNG.bytes(40), "little") % bn254.P_BN for _ in range(12)]
+        )
+
+    inputs = [
+        (rfq12(), rfq12(), int.from_bytes(RNG.bytes(32), "little"))
+        for _ in range(2)
+    ]
+    air = Fq12ExpAir(2)
+    t_fast, pi_fast = air.generate_trace_and_pi(inputs)
+    orig = native.has_exp_chain
+    try:
+        native.has_exp_chain = lambda name: False
+        t_slow, pi_slow = air.generate_trace_and_pi(inputs)
+    finally:
+        native.has_exp_chain = orig
+    assert np.array_equal(pi_fast, pi_slow)
+    assert np.array_equal(t_fast, t_slow)
