@@ -28,6 +28,21 @@ from . import u64ops  # noqa: F401
 _local = _threading.local()
 
 
+def mesh_pallas_enabled() -> bool:
+    """Opt-in: dispatch Pallas kernels INSIDE shard_map bodies.
+
+    The sharded pipeline historically guarded every shard_map body with
+    xla_only() because pallas_call's out_shapes carry no varying-manual-axes
+    annotation, which shard_map's default check_vma rejects. With
+    STARKY_MESH_PALLAS=1 the sharded commits instead pass check_vma=False
+    and let the per-shard body trace the same Pallas NTT/sponge kernels the
+    single-chip path uses (local shard shapes; bit-identical results —
+    validated on a real-chip 1-device mesh, see PARALLEL.md)."""
+    import os
+
+    return os.environ.get("STARKY_MESH_PALLAS", "") == "1"
+
+
 def xla_only_active() -> bool:
     """True while tracing a region that must not dispatch Pallas kernels."""
     return getattr(_local, "xla_only", 0) > 0

@@ -92,11 +92,18 @@ def sharded_commit(mesh: Mesh, values: jnp.ndarray, rate_bits: int, cap_height: 
     col_sharding = NamedSharding(mesh, P(None, axis))
     values = jax.device_put(values, col_sharding)
 
+    from .. import pallas as _pallas
+
+    mesh_pallas = _pallas.mesh_pallas_enabled()
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P(None, axis),
         out_specs=(P(axis, None), P(axis, None)),
+        # pallas_call outputs carry no vma annotation; with mesh-Pallas on,
+        # skip the check (outputs are per-shard local values either way)
+        check_vma=not mesh_pallas,
     )
     def commit_local(vals):
         # vals: [n, C/d] local columns — local NTT along rows
@@ -111,9 +118,9 @@ def sharded_commit(mesh: Mesh, values: jnp.ndarray, rate_bits: int, cap_height: 
         digests = poseidon.hash_or_noop(rows)  # [N/d, 4]
         return rows, digests
 
-    from .. import pallas as _pallas
+    import contextlib
 
-    with _pallas.xla_only():  # pallas_call can't trace under shard_map
+    with contextlib.nullcontext() if mesh_pallas else _pallas.xla_only():
         lde_rows, leaf_digests = commit_local(values)
 
     # finish the tree: local subtrees then replicated top
@@ -182,11 +189,16 @@ def sharded_commit_tree(mesh: Mesh, values, cfg):
     col_sharding = NamedSharding(mesh, P(None, axis))
     values = jax.device_put(values, col_sharding)
 
+    from .. import pallas as _pallas
+
+    mesh_pallas = _pallas.mesh_pallas_enabled()
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P(None, axis),
         out_specs=(P(axis, None), P(axis, None)),
+        check_vma=not mesh_pallas,  # see sharded_commit
     )
     def commit_local(vals):
         coeffs = ntt.interpolate_coeffs(vals)
@@ -198,9 +210,9 @@ def sharded_commit_tree(mesh: Mesh, values, cfg):
         digests = poseidon.hash_or_noop(rows)
         return rows, digests
 
-    from .. import pallas as _pallas
+    import contextlib
 
-    with _pallas.xla_only():  # pallas_call can't trace under shard_map
+    with contextlib.nullcontext() if mesh_pallas else _pallas.xla_only():
         lde_rows, digests = commit_local(values)
     cap_h = min(cfg.fri.cap_height, big_n.bit_length() - 1)
     levels = [digests] + list(merkle._upper_levels(digests, cap_h))

@@ -198,3 +198,38 @@ def test_sharded_prove_exp_air_with_aux_byte_identical():
     assert p_single.fri.pow_nonce == p_mesh.fri.pow_nonce
     assert eq(p_single.fri.final_coeffs, p_mesh.fri.final_coeffs)
     assert verify(air, p_mesh, cfg)
+
+
+def test_pallas_kernel_traces_inside_shard_map():
+    """Mesh-Pallas mode (STARKY_MESH_PALLAS=1): a pallas_call must trace
+    inside a shard_map body once check_vma=False — pinned here with the
+    interpret-mode sponge kernel on the CPU mesh (real-chip dispatch uses
+    the same tracing path; byte-identity on hardware recorded in
+    PARALLEL.md)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from starky_bn254_tpu.pallas import poseidon_kernel as pk
+
+    mesh = sharded.make_mesh(8)
+    n, cols, tile = 4096, poseidon.RATE, 512
+    block = jnp.asarray(
+        RNG.integers(0, np.uint64(0xFFFFFFFFFFFFFFFF), size=(n, cols),
+                     dtype=np.uint64)
+    )
+    state0 = jnp.zeros((n, poseidon.WIDTH), dtype=jnp.uint64)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("shard", None), P("shard", None)),
+        out_specs=P("shard", None),
+        check_vma=False,
+    )
+    def body(state, blk):
+        return pk.sponge_absorb(state, blk, tile=tile, interpret=True)
+
+    got = np.asarray(body(state0, block))
+    want = np.asarray(pk.sponge_absorb(state0, block, tile=tile, interpret=True))
+    assert np.array_equal(got, want)
