@@ -16,6 +16,9 @@ Replaces the FRI prover/verifier of the reference's external fork
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -294,6 +297,46 @@ def _pow_value(seed, nonces: jnp.ndarray) -> jnp.ndarray:
     return poseidon.permute(state)[:, 0]
 
 
+def _grind_pallas_ok(batch: int) -> bool:
+    """Route the grind's batched permutation through the Pallas sponge
+    kernel (absorbing a state's own first RATE columns IS a raw permute).
+    Decision made per call, outside jit (the engine choice must not bake
+    into a cached trace — ADVICE r3)."""
+    if os.environ.get("STARKY_NO_PALLAS") or os.environ.get(
+        "STARKY_NO_PALLAS_SPONGE"
+    ):
+        return False
+    from .. import pallas as _pallas
+
+    if _pallas.xla_only_active() or batch % poseidon._PALLAS_TILE:
+        return False
+    from ..pallas import poseidon_kernel as _pk
+
+    return _pk.available() and _pk.kernel_ok()
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "use_pallas"))
+def _grind_scan(seed, start, threshold, batch: int, use_pallas: bool):
+    """One grind batch fused into a single program: builds the states,
+    permutes (Pallas kernel or XLA), and reduces to (any_hit, first_idx) —
+    a 2-scalar readback instead of the former [batch]-bool D2H (256 KB per
+    iteration over the tunnel)."""
+    nonces = start + jnp.arange(batch, dtype=jnp.uint64)
+    state = jnp.zeros((batch, poseidon.WIDTH), dtype=jnp.uint64)
+    state = state.at[:, 0].set(seed)
+    state = state.at[:, 1].set(nonces)
+    if use_pallas:
+        from ..pallas import poseidon_kernel as _pk
+
+        st = _pk.sponge_absorb(
+            state, state[:, : poseidon.RATE], tile=poseidon._PALLAS_TILE
+        )
+    else:
+        st = poseidon.permute(state)
+    hits = st[:, 0] < threshold
+    return jnp.any(hits), jnp.argmax(hits)
+
+
 def grind(seed: int, pow_bits: int) -> int:
     """Find nonce with H(seed, nonce)[0] < 2^(64 - pow_bits).
 
@@ -303,12 +346,15 @@ def grind(seed: int, pow_bits: int) -> int:
     threshold = np.uint64(1 << (64 - pow_bits))
     batch = 1 << max(pow_bits + 2, 10)
     start = (seed >> 24) & 0xFFFFFFFF
+    use_pallas = _grind_pallas_ok(batch)
     while True:
-        nonces = jnp.arange(start, start + batch, dtype=jnp.uint64)
-        vals = _pow_value(np.uint64(seed), nonces)
-        hits = np.asarray(vals < threshold)
-        if hits.any():
-            return int(start + int(np.argmax(hits)))
+        any_hit, idx = jax.device_get(
+            _grind_scan(
+                np.uint64(seed), np.uint64(start), threshold, batch, use_pallas
+            )
+        )
+        if any_hit:
+            return int(start + int(idx))
         start += batch
 
 
@@ -333,15 +379,34 @@ def grind_parity(state: list[int], input_buffer: list[int], pow_bits: int) -> in
     base_j = jnp.asarray(base)
     batch = 1 << max(pow_bits + 2, 10)
     start = 0
+    use_pallas = _grind_pallas_ok(batch)
     while True:
-        nonces = jnp.arange(start, start + batch, dtype=jnp.uint64)
-        st = jnp.broadcast_to(base_j, (batch, poseidon.WIDTH))
-        st = st.at[:, k].set(nonces)
-        vals = poseidon.permute(st)[:, poseidon.RATE - 1]
-        hits = np.asarray(vals < threshold)
-        if hits.any():
-            return int(start + int(np.argmax(hits)))
+        any_hit, idx = jax.device_get(
+            _grind_parity_scan(
+                base_j, np.uint64(start), threshold, k, batch, use_pallas
+            )
+        )
+        if any_hit:
+            return int(start + int(idx))
         start += batch
+
+
+@functools.partial(jax.jit, static_argnames=("k", "batch", "use_pallas"))
+def _grind_parity_scan(base, start, threshold, k: int, batch: int,
+                       use_pallas: bool):
+    nonces = start + jnp.arange(batch, dtype=jnp.uint64)
+    st = jnp.broadcast_to(base, (batch, poseidon.WIDTH))
+    st = st.at[:, k].set(nonces)
+    if use_pallas:
+        from ..pallas import poseidon_kernel as _pk
+
+        out = _pk.sponge_absorb(
+            st, st[:, : poseidon.RATE], tile=poseidon._PALLAS_TILE
+        )
+    else:
+        out = poseidon.permute(st)
+    hits = out[:, poseidon.RATE - 1] < threshold
+    return jnp.any(hits), jnp.argmax(hits)
 
 
 # ----------------------------------------------------------------------------
