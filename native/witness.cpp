@@ -1312,4 +1312,57 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
     return err.load();
 }
 
+// Histogram of u16-valued cells across a strided u64 trace view — the
+// logUp range-check multiplicity column (gadgets/range_check.py:
+// generate_logup_u16_range_check) without the 3x ~200 MB numpy copies
+// (fancy-index + astype + ravel measured 1.9 s of a 2.2 s tracegen).
+// base points at row 0 / col 0 of the view; row_stride in ELEMENTS;
+// cols are column indices into the view. out must hold 65536 int64.
+// Returns 0, or 1 + flat index of the first cell >= 2^16.
+int64_t hist_u16_cols(const uint64_t* base, int64_t n_rows,
+                      int64_t row_stride, const int64_t* cols,
+                      int64_t n_cols, int64_t* out) {
+    int64_t nt = std::min<int64_t>(
+        std::max<int64_t>(1, n_rows / 4096),
+        std::max(1u, std::thread::hardware_concurrency()));
+    std::vector<std::vector<int64_t>> hists(nt);
+    std::atomic<int64_t> err(0);
+    auto run_range = [&](int64_t t, int64_t lo, int64_t hi) {
+        auto& h = hists[t];
+        h.assign(65536, 0);
+        for (int64_t r = lo; r < hi && !err.load(std::memory_order_relaxed);
+             r++) {
+            const uint64_t* row = base + r * row_stride;
+            for (int64_t c = 0; c < n_cols; c++) {
+                uint64_t v = row[cols[c]];
+                if (v >= 65536) {
+                    err.store(r * n_cols + c + 1);
+                    return;
+                }
+                h[v]++;
+            }
+        }
+    };
+    if (nt <= 1) {
+        run_range(0, 0, n_rows);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (n_rows + nt - 1) / nt;
+        for (int64_t t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min(n_rows, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(run_range, t, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    if (int64_t e = err.load()) return e;
+    for (int64_t v = 0; v < 65536; v++) {
+        int64_t s = 0;
+        for (auto& h : hists)
+            if (!h.empty()) s += h[v];
+        out[v] = s;
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -208,11 +208,21 @@ def generate_logup_u16_range_check(
     range_max = 1 << 16
     assert n >= range_max and n & (n - 1) == 0
     table = _table(n, range_max)
-    cols = trace_cols[:, target_cols]
-    assert (cols < range_max).all()
-    counts = np.bincount(
-        cols.astype(np.int64, copy=False).ravel(), minlength=range_max
-    )
+    counts = None
+    if trace_cols.dtype == np.uint64 and trace_cols.strides[1] == 8:
+        from .. import native
+
+        # strided single-pass C++ histogram (also validates < 2^16); the
+        # numpy route below copies the ~380 checked columns three times
+        # (fancy-index + astype + ravel — measured 1.9 s of a 2.2 s G1
+        # tracegen at num_io=128)
+        counts = native.hist_u16_cols(trace_cols, np.asarray(target_cols))
+    if counts is None:
+        cols = trace_cols[:, target_cols]
+        assert (cols < range_max).all()
+        counts = np.bincount(
+            cols.astype(np.int64, copy=False).ravel(), minlength=range_max
+        )
     mult = np.zeros(n, dtype=np.uint64)
     mult[:range_max] = counts.astype(np.uint64)
     return np.stack([table, mult], axis=1)

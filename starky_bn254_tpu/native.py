@@ -90,6 +90,13 @@ def _load():
             fn = getattr(lib, chain)
             fn.restype = ctypes.c_int64
             fn.argtypes = fq_sig
+    if hasattr(lib, "hist_u16_cols"):
+        lib.hist_u16_cols.restype = ctypes.c_int64
+        lib.hist_u16_cols.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     _LIB = lib
     return _LIB
 
@@ -271,6 +278,33 @@ def exp_chain(
     if rc != 0:
         raise ValueError(f"native {name} failed at (inst*rows+row)={rc - 1}")
     return fb.astype(np.uint64)
+
+
+def hist_u16_cols(view: np.ndarray, cols: np.ndarray) -> np.ndarray | None:
+    """Counts of each u16 value across `view[:, cols]` (u64 cells < 2^16)
+    without materializing the selected columns: view is a [n, C] u64 array
+    (any row stride, unit column stride). Returns int64[65536], or None when
+    the native library lacks the symbol. Raises on any cell >= 2^16."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hist_u16_cols"):
+        return None
+    assert view.dtype == np.uint64 and view.ndim == 2
+    assert view.strides[1] == 8, "column stride must be one element"
+    cols64 = np.ascontiguousarray(cols, dtype=np.int64)
+    out = np.zeros(65536, dtype=np.int64)
+    rc = lib.hist_u16_cols(
+        view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        view.shape[0],
+        view.strides[0] // 8,
+        _ptr(cols64, ctypes.c_int64),
+        cols64.shape[0],
+        _ptr(out, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"hist_u16_cols: cell >= 2^16 at flat index {rc - 1}"
+        )
+    return out
 
 
 def batch_fq_inv(limbs: np.ndarray) -> np.ndarray:
