@@ -518,12 +518,17 @@ def prove(
             z_gzeta = ntt.eval_from_lde(z_c.lde, gzeta, inv_den_gzeta)
         quotient_zeta = ntt.eval_from_lde(q_lde, zeta, inv_den_zeta)
 
+    # ONE D2H transfer for all five opening vectors (each np.asarray is a
+    # separate tunnel round trip otherwise)
+    trace_zeta, trace_gzeta, z_zeta, z_gzeta, quotient_zeta = jax.device_get(
+        (trace_zeta, trace_gzeta, z_zeta, z_gzeta, quotient_zeta)
+    )
     openings = StarkOpenings(
-        trace_zeta=np.asarray(trace_zeta),
-        trace_gzeta=np.asarray(trace_gzeta),
-        z_zeta=np.asarray(z_zeta) if z_zeta is not None else None,
-        z_gzeta=np.asarray(z_gzeta) if z_gzeta is not None else None,
-        quotient_zeta=np.asarray(quotient_zeta),
+        trace_zeta=trace_zeta,
+        trace_gzeta=trace_gzeta,
+        z_zeta=z_zeta,
+        z_gzeta=z_gzeta,
+        quotient_zeta=quotient_zeta,
     )
     challenger.observe_elements(openings.flat_elements())
 
