@@ -144,6 +144,19 @@ def full_bench() -> int:
     t_prove_sync = time.time() - t0
     _mark(f"instrumented prove done in {t_prove_sync:.1f}s")
 
+    # pipelined service throughput: tracegen of batch i+1 overlaps the
+    # device prove of batch i (stark/pipeline.py); steady-state e2e is
+    # bounded by max(tracegen, prove), not their sum
+    from starky_bn254_tpu.stark import prove_pipelined
+
+    n_pipe = 3
+    t0 = time.time()
+    pipe_proofs = prove_pipelined(air, [inputs] * n_pipe, cfg)
+    t_pipe = time.time() - t0
+    e2e_pipelined_per_s = n_pipe * num_io / t_pipe
+    assert len(pipe_proofs) == n_pipe
+    _mark(f"pipelined {n_pipe}x{num_io} in {t_pipe:.1f}s")
+
     t0 = time.time()
     assert verify(air, proof, cfg)
     t_verify = time.time() - t0
@@ -179,6 +192,7 @@ def full_bench() -> int:
                     "prove_s": round(t_prove, 3),
                     "prove_sync_s": round(t_prove_sync, 3),
                     "e2e_instances_per_s": round(e2e_per_s, 4),
+                    "e2e_pipelined_per_s": round(e2e_pipelined_per_s, 4),
                     "verify_s": round(t_verify, 3),
                     "verify_warm_s": round(t_verify_warm, 3),
                     "proof_bytes": proof_bytes,

@@ -5,6 +5,7 @@ from .batch_prove import BatchStarkProof, prove_batch_fri, verify_batch_fri
 from .batch_verify import BatchItem, BatchResult, verify_batch
 from .config import FriConfig, StarkConfig
 from .proof import StarkProof, load_proof, save_proof
+from .pipeline import prove_pipelined
 from .prover import prove
 from .verifier import VerificationError, verify
 
@@ -16,6 +17,7 @@ __all__ = [
     "load_proof",
     "save_proof",
     "prove",
+    "prove_pipelined",
     "verify",
     "VerificationError",
     "BatchStarkProof",

@@ -118,3 +118,36 @@ def test_proof_serialization_roundtrip(proof, tmp_path):
     save_proof(path, proof)
     loaded = load_proof(path)
     assert verify(AIR, loaded, CFG)
+
+
+def test_prove_pipelined_matches_sequential():
+    """prove_pipelined overlaps tracegen with proving but must produce the
+    exact proofs sequential prove() calls do."""
+    import jax.numpy as jnp
+
+    from starky_bn254_tpu import bn254
+    from starky_bn254_tpu.airs.fq_mul import FqMulAir
+    from starky_bn254_tpu.stark import prove, prove_pipelined
+
+    rng = np.random.default_rng(5)
+
+    def fq():
+        return int.from_bytes(rng.bytes(40), "little") % bn254.P_BN
+
+    air = FqMulAir(256)
+    batches = [[(fq(), fq()) for _ in range(250)] for _ in range(3)]
+    # FqMulAir has no public inputs; generate_trace returns only the trace
+    import types
+
+    if not hasattr(air, "generate_trace_and_pi"):
+        air.generate_trace_and_pi = types.MethodType(
+            lambda self, ins: (self.generate_trace(ins), np.zeros(0, dtype=np.uint64)),
+            air,
+        )
+    from starky_bn254_tpu.stark.proof import proof_to_bytes
+
+    pipelined = prove_pipelined(air, batches, CFG)
+    for inputs, got in zip(batches, pipelined):
+        trace, pi = air.generate_trace_and_pi(inputs)
+        want = prove(air, jnp.asarray(trace), pi, CFG)
+        assert proof_to_bytes(got) == proof_to_bytes(want)
