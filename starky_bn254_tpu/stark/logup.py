@@ -28,6 +28,7 @@ the Fq12-width traces in HBM.
 from __future__ import annotations
 
 import jax
+import os
 from .. import xnp as jnp
 import numpy as np
 
@@ -97,13 +98,37 @@ def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.
     parts, deltas = [], []
     for g_int in gammas:
         gamma = jnp.uint64(g_int % gl.P)
+        # every lookup in this framework is a u16 range check (air.py
+        # lookup_tables contract; cells are validated < 2^16 at tracegen),
+        # so the denominators gamma+c take at most 2^16 distinct values:
+        # ONE [2^16] Fermat-inversion program builds the whole inverse
+        # table and each checked cell becomes a gather — replacing ~85
+        # mod-ops per cell with one table load. Entries are the same
+        # gl.batch_inv(gl.add(v, gamma)) canonical residues the
+        # elementwise path produces, so aux columns (and proofs) are
+        # byte-identical (tests/test_logup.py pins it).
+        use_gather = (
+            trace.shape[0] * sum(len(t[2]) for t in tables) >= (1 << 18)
+            and not os.environ.get("STARKY_NO_LOGUP_GATHER")
+        )
+        inv_table = (
+            _inv_shifted(jnp.arange(1 << 16, dtype=jnp.uint64), gamma)
+            if use_gather
+            else None
+        )
         for (t_col, m_col, checked) in tables:
-            inv_t = _inv_shifted(trace[:, t_col], gamma)
+            if use_gather:
+                inv_t = inv_table[trace[:, t_col]]
+            else:
+                inv_t = _inv_shifted(trace[:, t_col], gamma)
             h_chunks = []
-            big = trace.size > (1 << 27)
+            big = trace.size > (1 << 27) and not use_gather
             for off in range(0, len(checked), chunk):
                 sub = np.array(checked[off : off + chunk], dtype=np.int32)
-                inv_c = _inv_shifted(trace[:, jnp.asarray(sub)], gamma)
+                if use_gather:
+                    inv_c = inv_table[trace[:, jnp.asarray(sub)]]
+                else:
+                    inv_c = _inv_shifted(trace[:, jnp.asarray(sub)], gamma)
                 h_chunks.append(_pair_sum(inv_c))
                 del inv_c
                 if big:

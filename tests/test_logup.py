@@ -63,3 +63,25 @@ def test_out_of_range_cell_rejected(air_proof):
     with pytest.raises((VerificationError, AssertionError, ValueError)):
         p = prove(air, jnp.asarray(bad), pi, CFG)
         verify(air, p, CFG)
+
+
+def test_gather_path_matches_fermat_path():
+    """The u16 inverse-table gather (one [2^16] Fermat program + gathers)
+    must produce byte-identical aux columns to the per-cell Fermat path."""
+    import os
+
+    import numpy as np
+
+    from starky_bn254_tpu.stark import logup
+
+    tr = np.random.default_rng(7).integers(0, 1 << 16, size=(65536, 8),
+                                           dtype=np.uint64)
+    tr[:, 0] = np.arange(65536)
+    tables = [(0, 1, tuple(range(2, 8)))]
+    gathered = logup.compute_logup_columns(tr, tables, [999, 424242])
+    os.environ["STARKY_NO_LOGUP_GATHER"] = "1"
+    try:
+        fermat = logup.compute_logup_columns(tr, tables, [999, 424242])
+    finally:
+        del os.environ["STARKY_NO_LOGUP_GATHER"]
+    assert np.array_equal(np.asarray(gathered), np.asarray(fermat))
