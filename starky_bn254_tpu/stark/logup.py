@@ -154,6 +154,74 @@ def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.
     return jnp.concatenate(cols, axis=1)
 
 
+def compute_logup_columns_streamed(
+    trace, tables, gammas: list[int], block: int = 1 << 18
+) -> np.ndarray:
+    """North-star-scale twin of compute_logup_columns: the device computes
+    each ROW BLOCK's g/h columns (inverse-table gather path) and the per-row
+    deltas; results stream to a preallocated HOST buffer and the S running
+    sum finishes as a host cumsum. Device residency is bounded by one
+    block's temporaries — at 2^20 rows the all-device build held the
+    [n, ~390] aux block (3.2 GB) next to the subgroup trace (3.4 GB) and
+    OOM'd (queue_northstar20.log, round 4). Byte-identical to the
+    all-device path (tests/test_logup.py pins it); the returned numpy array
+    feeds the commit-from-host offload path directly."""
+    from ..xnp import hard_sync
+
+    n = trace.shape[0]
+    nc = len(gammas)
+    w = table_aux_width(tables)
+    out = np.zeros((n, nc * w), dtype=np.uint64)
+    deltas = np.zeros((n, 0), dtype=np.uint64)
+    col = 0
+    for g_int in gammas:
+        gamma = jnp.uint64(g_int % gl.P)
+        inv_table = _inv_shifted(jnp.arange(1 << 16, dtype=jnp.uint64), gamma)
+        for (t_col, m_col, checked) in tables:
+            nb = len(batches(checked))
+            g_col, h0, s_col = col, col + 1, col + 1 + nb
+            delta_t = np.zeros((n,), dtype=np.uint64)
+            for r0 in range(0, n, block):
+                blk = trace[r0 : r0 + block]
+                inv_t = inv_table[blk[:, t_col]]
+                h_chunks = []
+                for off in range(0, len(checked), 128):
+                    sub = np.array(checked[off : off + 128], dtype=np.int32)
+                    inv_c = inv_table[blk[:, jnp.asarray(sub)]]
+                    h_chunks.append(_pair_sum(inv_c))
+                    del inv_c
+                h_mat = (
+                    h_chunks[0]
+                    if len(h_chunks) == 1
+                    else jnp.concatenate(h_chunks, axis=1)
+                )
+                del h_chunks
+                g, delta = _logup_gdelta(blk[:, m_col], inv_t, h_mat)
+                out[r0 : r0 + block, g_col] = np.asarray(g)
+                out[r0 : r0 + block, h0 : h0 + nb] = np.asarray(h_mat)
+                delta_t[r0 : r0 + block] = np.asarray(delta)
+                hard_sync(g)  # bound coexisting block temps on the chip
+                del h_mat, g, delta
+            deltas = np.concatenate([deltas, delta_t[:, None]], axis=1)
+            # S filled below once every table's deltas exist (cumsum order
+            # must match _logup_scan_2d: one shifted scan per delta column)
+            out[1:, s_col] = 0  # placeholder; overwritten after the loop
+            col += 2 + nb
+    # host shifted cumsum, same element order as the device scan
+    csum = np.asarray(gl.cumsum(deltas))  # numpy in -> numpy out (xnp)
+    col = 0
+    di = 0
+    for _ in gammas:
+        for (t_col, m_col, checked) in tables:
+            nb = len(batches(checked))
+            s_col = col + 1 + nb
+            out[0, s_col] = 0
+            out[1:, s_col] = csum[:-1, di]
+            di += 1
+            col += 2 + nb
+    return out
+
+
 def logup_constraints(
     tables,
     gammas: list[Val],

@@ -421,21 +421,43 @@ def prove(
     gammas: list[int] = []
     if pairs or tables or extra_w:
         gammas = challenger.get_n_challenges(nc)
+        build_on_host = mesh is None and _force_offload
         with tt.scope("aux (Z/logup) commit"):
             parts = []
             with tt.scope("column build"):  # nests under the aux scope
                 if pairs:
-                    parts.append(compute_z_columns(trace, pairs, gammas))
+                    p = compute_z_columns(trace, pairs, gammas)
+                    parts.append(np.asarray(p) if build_on_host else p)
                 if tables:
-                    from .logup import compute_logup_columns
+                    if build_on_host:
+                        # north-star shapes: stream row blocks to a host
+                        # buffer — the all-device build held the full aux
+                        # block next to the subgroup trace and OOM'd 2^20
+                        from .logup import compute_logup_columns_streamed
 
-                    parts.append(compute_logup_columns(trace, tables, gammas))
+                        parts.append(
+                            compute_logup_columns_streamed(
+                                trace, tables, gammas
+                            )
+                        )
+                    else:
+                        from .logup import compute_logup_columns
+
+                        parts.append(
+                            compute_logup_columns(trace, tables, gammas)
+                        )
                 if extra_w:
+                    aux_extra = air.generate_aux(np.asarray(trace), gammas)
                     parts.append(
-                        jnp.asarray(air.generate_aux(np.asarray(trace), gammas))
+                        np.asarray(aux_extra)
+                        if build_on_host
+                        else jnp.asarray(aux_extra)
                     )
-                z_cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-                if z_cols.size > _SYNC_CELLS:
+                eng = np if build_on_host else jnp
+                z_cols = (
+                    parts[0] if len(parts) == 1 else eng.concatenate(parts, axis=1)
+                )
+                if not build_on_host and z_cols.size > _SYNC_CELLS:
                     # drain the column-build programs before the commit
                     # blocks enqueue (bounds coexisting program temps)
                     hard_sync(z_cols)

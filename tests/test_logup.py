@@ -85,3 +85,22 @@ def test_gather_path_matches_fermat_path():
     finally:
         del os.environ["STARKY_NO_LOGUP_GATHER"]
     assert np.array_equal(np.asarray(gathered), np.asarray(fermat))
+
+
+def test_streamed_columns_match_device_path():
+    """compute_logup_columns_streamed (host-assembled row blocks, the
+    north-star memory path) is byte-identical to the all-device build."""
+    import numpy as np
+
+    from starky_bn254_tpu.stark import logup
+
+    tr = np.random.default_rng(9).integers(0, 1 << 16, size=(65536, 10),
+                                           dtype=np.uint64)
+    tr[:, 0] = np.arange(65536)
+    tables = [(0, 1, tuple(range(2, 10)))]
+    gammas = [31337, 271828]
+    device = np.asarray(logup.compute_logup_columns(tr, tables, gammas))
+    streamed = logup.compute_logup_columns_streamed(
+        tr, tables, gammas, block=1 << 14
+    )
+    assert np.array_equal(streamed, device)
