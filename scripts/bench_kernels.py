@@ -125,7 +125,12 @@ def main():
     from starky_bn254_tpu.stark.prover import commit
 
     cfg = StarkConfig.standard_fast_config()
-    t_commit = timeit(lambda: sync(commit(x, cfg).tree.cap), reps=2)
+    try:
+        t_commit = timeit(lambda: sync(commit(x, cfg).tree.cap), reps=2)
+    except Exception as e:  # keep the earlier tiers' rows on a crash
+        print(f"commit [{n}x{cols}]: FAILED ({type(e).__name__}: "
+              f"{str(e)[:160]})", flush=True)
+        return
     # INTT 3 passes at [n,c] + coset NTT 3 passes at [2n,c] + leaf-hash read
     # + LDE writeback: ~22*n*c*8 bytes end to end
     commit_bytes = 22 * n * cols * 8

@@ -73,6 +73,12 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         and values.shape[0] >= (1 << 14)
         and values.shape[0].bit_length() - 1 <= 22
         and values.shape[1] >= 64
+        # tall-and-narrow is XLA's: at [2^20, 120] the measured Pallas call
+        # is 0.5x XLA (kernel roofline table, BASELINE.md round 4) and the
+        # Mosaic compile of that shape spills registers (remote-compile
+        # HTTP 500, queue_kernels.log); the prove-path commit shapes
+        # (>= ~390 cols) stay on the kernel
+        and not (values.shape[0] >= (1 << 20) and values.shape[1] < 256)
         and not os.environ.get("STARKY_NO_PALLAS")
         and not os.environ.get("STARKY_NO_PALLAS_NTT")
     ):
