@@ -70,6 +70,10 @@ def run(family: str):
     t0 = time.time()
     trace, pi = air.generate_trace_and_pi(inputs)
     t_tracegen = time.time() - t0
+    t0 = time.time()
+    proof = prove(air, jnp.asarray(trace), pi, cfg)
+    t_first = time.time() - t0
+    # warm re-prove: steady-state number once the layout's programs exist
     tt = TimingTree("prove", sync=True)
     t0 = time.time()
     proof = prove(air, jnp.asarray(trace), pi, cfg, timing=tt)
@@ -91,7 +95,10 @@ def run(family: str):
                     "columns": int(trace.shape[1]),
                     "config": "standard_fast (rate 1/2, 84 queries, 16-bit PoW)",
                     "trace_gen_s": round(t_tracegen, 2),
+                    "prove_first_s": round(t_first, 2),
+                    "instances_per_s": round(NUM_IO / t_prove, 3),
                     "verify_s": round(t_verify, 2),
+                    "phases": tt.as_dict(),
                     "device": str(jax.devices()[0]),
                 },
             }
