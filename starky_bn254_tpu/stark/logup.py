@@ -107,8 +107,18 @@ def compute_logup_columns(trace: jnp.ndarray, tables, gammas: list[int]) -> jnp.
         # gl.batch_inv(gl.add(v, gamma)) canonical residues the
         # elementwise path produces, so aux columns (and proofs) are
         # byte-identical (tests/test_logup.py pins it).
+        # TPU gathers run at ~0.6 GB/s (measured: the gather build took
+        # 808 ms where the per-cell Fermat chains took 278 ms at the
+        # num_io=128 G1 shape — queue_bench.log round 4), so the table
+        # path is host/CPU-only; the TPU keeps the fully-vectorized
+        # Fermat chains.
+        on_tpu = (
+            not isinstance(trace, np.ndarray)
+            and jax.devices()[0].platform == "tpu"
+        )
         use_gather = (
-            trace.shape[0] * sum(len(t[2]) for t in tables) >= (1 << 18)
+            not on_tpu
+            and trace.shape[0] * sum(len(t[2]) for t in tables) >= (1 << 18)
             and not os.environ.get("STARKY_NO_LOGUP_GATHER")
         )
         inv_table = (
@@ -158,8 +168,9 @@ def compute_logup_columns_streamed(
     trace, tables, gammas: list[int], block: int = 1 << 18
 ) -> np.ndarray:
     """North-star-scale twin of compute_logup_columns: the device computes
-    each ROW BLOCK's g/h columns (inverse-table gather path) and the per-row
-    deltas; results stream to a preallocated HOST buffer and the S running
+    each ROW BLOCK's g/h columns (chunked Fermat chains, synced per block)
+    and the per-row deltas; results stream to a preallocated HOST buffer
+    and the S running
     sum finishes as a host cumsum. Device residency is bounded by one
     block's temporaries — at 2^20 rows the all-device build held the
     [n, ~390] aux block (3.2 GB) next to the subgroup trace (3.4 GB) and
@@ -176,18 +187,17 @@ def compute_logup_columns_streamed(
     col = 0
     for g_int in gammas:
         gamma = jnp.uint64(g_int % gl.P)
-        inv_table = _inv_shifted(jnp.arange(1 << 16, dtype=jnp.uint64), gamma)
         for (t_col, m_col, checked) in tables:
             nb = len(batches(checked))
             g_col, h0, s_col = col, col + 1, col + 1 + nb
             delta_t = np.zeros((n,), dtype=np.uint64)
             for r0 in range(0, n, block):
                 blk = trace[r0 : r0 + block]
-                inv_t = inv_table[blk[:, t_col]]
+                inv_t = _inv_shifted(blk[:, t_col], gamma)
                 h_chunks = []
                 for off in range(0, len(checked), 128):
                     sub = np.array(checked[off : off + 128], dtype=np.int32)
-                    inv_c = inv_table[blk[:, jnp.asarray(sub)]]
+                    inv_c = _inv_shifted(blk[:, jnp.asarray(sub)], gamma)
                     h_chunks.append(_pair_sum(inv_c))
                     del inv_c
                 h_mat = (
