@@ -20,6 +20,18 @@ the child never touches JAX.
 (double buffering). Deeper prefetch buys nothing: the device is the
 bottleneck once tracegen < prove, and each prefetched trace holds
 ~200 MB of host memory at the num_io=128 G1 shape.
+
+The host->device TRANSFER of the next trace is prefetched too, in a
+small I/O thread (`_DevicePrefetch`): over the tunneled TPU the
+[65536, 404] u64 trace is ~212 MB and a synchronous device_put between
+proves re-serializes exactly the cost the pipeline exists to hide
+(measured: ~16 s/batch pipelined vs ~4 s serial-with-resident-trace at
+the num_io=128 G1 shape — the transfer, not the fork, was the gap).
+Unlike the abandoned full-tracegen thread, this thread only reads a
+pipe and calls device_put — both GIL-releasing — so it cannot starve
+the prove's dispatch loop. The fork for batch i+1 always happens from
+the main thread while no prefetch thread is alive (get() joins before
+the next spawn), keeping the fork single-threaded-safe.
 """
 
 from __future__ import annotations
@@ -27,8 +39,9 @@ from __future__ import annotations
 import os
 import pickle
 import struct
+import threading
 
-import jax.numpy as jnp
+import jax
 import numpy as np
 
 from .air import Air
@@ -46,31 +59,82 @@ def _spawn_tracegen(air: Air, inputs):
         code = 1
         try:
             os.close(r)
-            trace, pi = air.generate_trace_and_pi(inputs)
-            payload = pickle.dumps(
-                (np.asarray(trace), np.asarray(pi)), protocol=5
-            )
+            try:
+                trace, pi = air.generate_trace_and_pi(inputs)
+                payload = pickle.dumps(
+                    (np.asarray(trace), np.asarray(pi)), protocol=5
+                )
+                ok = b"\x01"
+            except BaseException:
+                import traceback
+
+                payload = traceback.format_exc().encode()
+                ok = b"\x00"
             with os.fdopen(w, "wb") as f:
+                f.write(ok)
                 f.write(struct.pack("<Q", len(payload)))
                 f.write(payload)
-            code = 0
+            code = 0 if ok == b"\x01" else 1
         finally:
             os._exit(code)  # skip atexit/JAX teardown in the fork
     os.close(w)
 
     def join():
         with os.fdopen(r, "rb") as f:
-            (ln,) = struct.unpack("<Q", f.read(8))
+            head = f.read(9)
+            if len(head) < 9:
+                os.waitpid(pid, 0)
+                raise RuntimeError(
+                    "tracegen worker died before writing its header "
+                    "(likely killed by the OS, e.g. OOM)"
+                )
+            ok = head[0:1]
+            (ln,) = struct.unpack("<Q", head[1:9])
             payload = f.read(ln)
         _, status = os.waitpid(pid, 0)
-        if status != 0 or len(payload) != ln:
+        if ok != b"\x01":
             raise RuntimeError(
-                f"tracegen worker failed (status={status}, "
+                "tracegen worker raised:\n" + payload.decode(errors="replace")
+            )
+        if len(payload) != ln:
+            raise RuntimeError(
+                f"tracegen worker truncated (status={status}, "
                 f"got {len(payload)}/{ln} bytes)"
             )
         return pickle.loads(payload)
 
     return join
+
+
+class _DevicePrefetch:
+    """Joins a tracegen worker and stages its trace onto the device from a
+    daemon thread, so the H2D transfer of batch i+1 overlaps the device
+    prove of batch i instead of serializing after it."""
+
+    def __init__(self, join):
+        self._result = None
+        self._exc = None
+        self._thread = threading.Thread(
+            target=self._run, args=(join,), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, join):
+        try:
+            trace, pi = join()
+            trace_dev = jax.device_put(trace)
+            # force the enqueue NOW (device_put is lazy-ish under some
+            # backends); completion is awaited by the consumer's first use
+            trace_dev.block_until_ready()
+            self._result = (trace_dev, pi)
+        except BaseException as e:  # surfaced in get()
+            self._exc = e
+
+    def get(self):
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._result
 
 
 def prove_pipelined(
@@ -87,10 +151,14 @@ def prove_pipelined(
     if not input_batches:
         return []
     proofs: list[StarkProof] = []
-    pending = _spawn_tracegen(air, input_batches[0])
+    prefetch = _DevicePrefetch(_spawn_tracegen(air, input_batches[0]))
     for i in range(len(input_batches)):
-        trace, pi = pending()
+        trace_dev, pi = prefetch.get()
         if i + 1 < len(input_batches):
-            pending = _spawn_tracegen(air, input_batches[i + 1])
-        proofs.append(prove(air, jnp.asarray(trace), pi, cfg, mesh=mesh))
+            # fork first (no prefetch thread is alive here), then hand the
+            # pipe to the next prefetch thread
+            prefetch = _DevicePrefetch(
+                _spawn_tracegen(air, input_batches[i + 1])
+            )
+        proofs.append(prove(air, trace_dev, pi, cfg, mesh=mesh))
     return proofs
