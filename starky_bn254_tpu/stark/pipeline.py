@@ -40,6 +40,7 @@ import os
 import pickle
 import struct
 import threading
+import time
 
 import jax
 import numpy as np
@@ -142,12 +143,18 @@ def prove_pipelined(
     input_batches: list,
     cfg: StarkConfig,
     mesh=None,
+    on_proof=None,
 ) -> list[StarkProof]:
     """Proves one statement per input batch, overlapping batch i+1's
     trace generation (forked worker) with batch i's prove. Each element of
     `input_batches` is the `inputs` list `air.generate_trace_and_pi`
     expects (length air.num_io). Returns proofs in order; byte-identical
-    to sequential prove() calls (tests/test_stark_e2e.py pins this)."""
+    to sequential prove() calls (tests/test_stark_e2e.py pins this).
+
+    `on_proof(i, wall_time)` fires as each proof materializes — callers
+    measuring steady-state service throughput time from the FIRST
+    completed proof, excluding the one-time pipeline fill (first batch's
+    tracegen + device upload have nothing to overlap with)."""
     if not input_batches:
         return []
     proofs: list[StarkProof] = []
@@ -161,4 +168,6 @@ def prove_pipelined(
                 _spawn_tracegen(air, input_batches[i + 1])
             )
         proofs.append(prove(air, trace_dev, pi, cfg, mesh=mesh))
+        if on_proof is not None:
+            on_proof(i, time.time())
     return proofs
