@@ -149,6 +149,8 @@ def full_bench() -> int:
     # bounded by max(tracegen, prove), not their sum
     from starky_bn254_tpu.stark import prove_pipelined
 
+    del trace_dev  # frees one [n, C] device buffer for the pipelined runs
+
     # steady-state rate: time from the FIRST completed proof (the fill —
     # batch 0's tracegen + device upload — has nothing to overlap with
     # and would understate a service's sustained throughput)
