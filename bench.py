@@ -64,7 +64,9 @@ def full_bench() -> int:
     def rand_scalar():
         return int.from_bytes(rng.bytes(40), "little") % bn254.R_BN
 
-    cfg = StarkConfig.standard_fast_config()
+    cfg = StarkConfig.standard_fast_config(
+        os.environ.get("STARKY_MERKLE_HASH", "poseidon")
+    )
 
     t0 = time.time()
     if air_kind == "g1":
@@ -144,6 +146,54 @@ def full_bench() -> int:
     t_prove_sync = time.time() - t0
     _mark(f"instrumented prove done in {t_prove_sync:.1f}s")
 
+    t0 = time.time()
+    assert verify(air, proof, cfg)
+    t_verify = time.time() - t0
+    t0 = time.time()
+    assert verify(air, proof, cfg)
+    t_verify_warm = time.time() - t0
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        save_proof(f.name, proof)
+        proof_bytes = os.path.getsize(f.name)
+
+    exps_per_s = num_io / t_prove
+    e2e_per_s = num_io / (t_tracegen_warm + t_prove)
+    detail = {
+        "num_io": num_io,
+        "rows": int(trace.shape[0]),
+        "columns": int(trace.shape[1]),
+        "merkle_hash": cfg.fri.merkle_hash,
+        "trace_gen_s": round(t_tracegen, 3),
+        "trace_gen_warm_s": round(t_tracegen_warm, 3),
+        "native_witness": native_witness,
+        "pallas_ntt": pallas_ntt,
+        "pallas_sponge": pallas_sponge,
+        "prove_first_s": round(t_first, 3),
+        "prove_s": round(t_prove, 3),
+        "prove_sync_s": round(t_prove_sync, 3),
+        "e2e_instances_per_s": round(e2e_per_s, 4),
+        "verify_s": round(t_verify, 3),
+        "verify_warm_s": round(t_verify_warm, 3),
+        "proof_bytes": proof_bytes,
+        "phases": tt.as_dict(),
+        "device": str(jax.devices()[0]),
+    }
+    record = {
+        "metric": f"{air_kind}_exp_proof_instances_per_s",
+        "value": round(exps_per_s, 4),
+        "unit": "exp_instances/s",
+        "vs_baseline": _vs_baseline(f"{air_kind}_exp", exps_per_s),
+        "detail": detail,
+    }
+    # emit NOW, before the pipelined tier: a tier-timeout kill during the
+    # pipelined runs cost round 5a its whole fresh record (the child had
+    # finished every core metric 19 s earlier). The parent parses the LAST
+    # JSON line, so the post-pipeline emission below supersedes this one.
+    print(json.dumps(record), flush=True)
+
     # pipelined service throughput: tracegen of batch i+1 overlaps the
     # device prove of batch i (stark/pipeline.py); steady-state e2e is
     # bounded by max(tracegen, prove), not their sum
@@ -161,58 +211,25 @@ def full_bench() -> int:
         air, [inputs] * n_pipe, cfg, on_proof=lambda i, t: stamps.append(t)
     )
     t_pipe = time.time() - t0
-    e2e_pipelined_per_s = (n_pipe - 1) * num_io / (stamps[-1] - stamps[0])
+    # BOTH pipelined rates are recorded (ADVICE r4): _steady_ times from the
+    # first completed proof (fill excluded — the sustained service rate);
+    # _fill_ divides the whole wall clock (comparable to rounds <= 3).
+    e2e_pipelined_fill_per_s = n_pipe * num_io / t_pipe
+    if n_pipe >= 2 and stamps[-1] > stamps[0]:
+        e2e_pipelined_per_s = (n_pipe - 1) * num_io / (stamps[-1] - stamps[0])
+    else:
+        e2e_pipelined_per_s = e2e_pipelined_fill_per_s
     assert len(pipe_proofs) == n_pipe
     _mark(
         f"pipelined {n_pipe}x{num_io} in {t_pipe:.1f}s "
-        f"(steady {e2e_pipelined_per_s:.1f}/s)"
+        f"(steady {e2e_pipelined_per_s:.1f}/s, fill-incl "
+        f"{e2e_pipelined_fill_per_s:.1f}/s)"
     )
 
-    t0 = time.time()
-    assert verify(air, proof, cfg)
-    t_verify = time.time() - t0
-    t0 = time.time()
-    assert verify(air, proof, cfg)
-    t_verify_warm = time.time() - t0
-
-    import tempfile
-
-    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
-        save_proof(f.name, proof)
-        proof_bytes = os.path.getsize(f.name)
-
-    exps_per_s = num_io / t_prove
-    e2e_per_s = num_io / (t_tracegen_warm + t_prove)
-    print(
-        json.dumps(
-            {
-                "metric": f"{air_kind}_exp_proof_instances_per_s",
-                "value": round(exps_per_s, 4),
-                "unit": "exp_instances/s",
-                "vs_baseline": _vs_baseline(f"{air_kind}_exp", exps_per_s),
-                "detail": {
-                    "num_io": num_io,
-                    "rows": int(trace.shape[0]),
-                    "columns": int(trace.shape[1]),
-                    "trace_gen_s": round(t_tracegen, 3),
-                    "trace_gen_warm_s": round(t_tracegen_warm, 3),
-                    "native_witness": native_witness,
-                    "pallas_ntt": pallas_ntt,
-                    "pallas_sponge": pallas_sponge,
-                    "prove_first_s": round(t_first, 3),
-                    "prove_s": round(t_prove, 3),
-                    "prove_sync_s": round(t_prove_sync, 3),
-                    "e2e_instances_per_s": round(e2e_per_s, 4),
-                    "e2e_pipelined_per_s": round(e2e_pipelined_per_s, 4),
-                    "verify_s": round(t_verify, 3),
-                    "verify_warm_s": round(t_verify_warm, 3),
-                    "proof_bytes": proof_bytes,
-                    "phases": tt.as_dict(),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    # final record: the preliminary emission plus the pipelined rates
+    detail["e2e_pipelined_per_s"] = round(e2e_pipelined_per_s, 4)
+    detail["e2e_pipelined_fill_per_s"] = round(e2e_pipelined_fill_per_s, 4)
+    print(json.dumps(record), flush=True)
     return 0
 
 
@@ -310,6 +327,32 @@ def _run_child(mode_env: str, budget: int, force_cpu: bool = False) -> bool:
 
     # child stderr goes to a FILE so the progress markers survive a timeout
     # kill (capture_output discards them exactly when they matter most)
+    def _capture(stdout_text: str, note: str | None = None) -> bool:
+        """Persist the LAST JSON record of a child's stdout (the child may
+        emit a preliminary record before its pipelined tier and a richer
+        one after — last wins)."""
+        lines = [
+            ln for ln in (stdout_text or "").splitlines() if ln.startswith("{")
+        ]
+        if not lines:
+            return False
+        try:
+            rec = json.loads(lines[-1])
+        except Exception:
+            return False
+        rec.setdefault("detail", {})["recorded_at"] = time.time()
+        if note:
+            rec["detail"]["tier_note"] = note
+        print(json.dumps(rec), flush=True)
+        try:  # persist as the next round's last-known-good
+            global _BEST_RECORD
+            _BEST_RECORD = rec
+            with open(_LAST_GOOD, "w") as f:
+                json.dump(rec, f)
+        except Exception:
+            pass
+        return True
+
     with tempfile.NamedTemporaryFile("w+", suffix=".err") as errf:
         try:
             r = subprocess.run(
@@ -320,28 +363,24 @@ def _run_child(mode_env: str, budget: int, force_cpu: bool = False) -> bool:
                 stderr=errf,
                 text=True,
             )
-            if '"metric"' in r.stdout:
-                for line in r.stdout.splitlines():
-                    if line.startswith("{"):
-                        print(line, flush=True)
-                        try:  # persist as the next round's last-known-good
-                            rec = json.loads(line)
-                            rec.setdefault("detail", {})["recorded_at"] = time.time()
-                            global _BEST_RECORD
-                            _BEST_RECORD = rec
-                            with open(_LAST_GOOD, "w") as f:
-                                json.dump(rec, f)
-                        except Exception:
-                            pass
-                        return True
+            if _capture(r.stdout):
+                return True
             errf.seek(0)
             sys.stderr.write(r.stdout[-2000:] + errf.read()[-2000:])
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as te:
             errf.seek(0)
             sys.stderr.write(
                 f"bench child ({mode_env}) exceeded {budget}s; its last "
                 f"markers:\n{errf.read()[-2000:]}\n"
             )
+            # a killed child may still have emitted a full record before the
+            # tier that overran (round 5a lost a complete fresh record to a
+            # kill during the pipelined runs)
+            out = te.stdout
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", errors="replace")
+            if _capture(out, note=f"child hit the {budget}s tier budget"):
+                return True
     return False
 
 
@@ -393,12 +432,42 @@ def main():
     # enough that a 420 s reserve once starved it 40 s short of finishing.
     if _run_child("full", left(150)):
         return
-    sys.stderr.write("falling back to commit-throughput bench\n")
-    if _run_child("commit", min(left(60), 600)):
-        return
+
+    # Before writing the TPU off, probe it with retry/backoff: round 4's
+    # fresh tier hit one transient "unreachable" window, fell straight to a
+    # CPU tier that could not finish, and the round recorded a stale replay.
+    def probe_tpu() -> bool:
+        code = "import jax,jax.numpy as jnp;x=jnp.ones((8,8));print(float((x@x).sum()))"
+        for i in range(3):
+            if left() < 180:
+                return False
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", code], timeout=90, capture_output=True
+                )
+                if r.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            sys.stderr.write(f"TPU probe {i + 1} failed; backing off 30s\n")
+            time.sleep(30)
+        return False
+
+    if probe_tpu():
+        sys.stderr.write("TPU probe ok: retrying the full tier once\n")
+        if _run_child("full", left(150)):
+            return
+        sys.stderr.write("falling back to commit-throughput bench\n")
+        if _run_child("commit", min(left(60), 600)):
+            return
     # TPU tunnel unreachable (observed multi-hour UNAVAILABLE outages):
-    # a CPU full-pipeline number beats a zero record; detail.device marks it
+    # a CPU full-pipeline number beats a zero record; detail.device marks
+    # it. The CPU tier is SIZED TO FINISH: num_io drops to 8 (2^12 rows)
+    # unless the caller pinned something smaller — the 4-core host cannot
+    # complete the num_io=128 workload inside any driver window.
     sys.stderr.write("TPU unreachable: running the full bench on host CPU\n")
+    if int(os.environ.get("STARKY_BENCH_NUM_IO", "128")) > 8:
+        os.environ["STARKY_BENCH_NUM_IO"] = "8"
     if left() > 300 and _run_child("full", left(30), force_cpu=True):
         return
     # nothing completed inside the window: the startup emission (if any)

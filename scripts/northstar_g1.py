@@ -38,7 +38,12 @@ def main():
     def rand_scalar():
         return int.from_bytes(rng.bytes(40), "little") % bn254.R_BN
 
-    cfg = StarkConfig.standard_fast_config()
+    # STARKY_MERKLE_HASH=keccak selects the Keccak-f[1600] Merkle hash
+    # (plonky2's KeccakGoldilocksConfig analogue — see keccak.py); the
+    # emitted record carries the choice in detail.merkle_hash
+    cfg = StarkConfig.standard_fast_config(
+        os.environ.get("STARKY_MERKLE_HASH", "poseidon")
+    )
     air = G1ExpAir(num_io)
 
     t0 = time.time()

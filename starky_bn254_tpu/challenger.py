@@ -122,7 +122,13 @@ class Challenger:
             self.observe_element(int(x))
 
     def observe_cap(self, cap):
-        self.observe_elements(np.asarray(cap, dtype=np.uint64))
+        # reduce digest words into the field before observing: a no-op for
+        # Poseidon caps (already canonical Goldilocks elements) and the
+        # deterministic embedding for Keccak caps, whose 64-bit words may
+        # exceed p. Prover and verifier both observe through this path, so
+        # the transcript stays in agreement; the Merkle checks themselves
+        # compare the UNREDUCED u64 digests.
+        self.observe_elements(np.asarray(cap, dtype=np.uint64) % np.uint64(gl.P))
 
     def observe_ext(self, x):
         self.observe_elements(np.asarray(x, dtype=np.uint64))

@@ -74,29 +74,37 @@ def _prove_batch_jit(idx, levels):
     return jnp.stack(sibs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cap_height",))
-def _build_levels(leaves: jnp.ndarray, cap_height: int):
+@functools.partial(jax.jit, static_argnames=("cap_height", "hasher"))
+def _build_levels(leaves: jnp.ndarray, cap_height: int, hasher: str = "poseidon"):
     """All tree levels in ONE compiled graph (remote compiles are expensive;
     per-level dispatch would cost one compile per level shape)."""
-    digests = poseidon.hash_or_noop(leaves)
+    from .hashing import get_hasher
+
+    h = get_hasher(hasher)
+    digests = h.hash_or_noop(leaves)
     levels = [digests]
     while levels[-1].shape[0] > (1 << cap_height):
         cur = levels[-1]
-        levels.append(poseidon.compress(cur[0::2], cur[1::2]))
+        levels.append(h.compress(cur[0::2], cur[1::2]))
     return tuple(levels)
 
 
-@jax.jit
-def _leaf_digests(leaves: jnp.ndarray) -> jnp.ndarray:
-    return poseidon.hash_or_noop(leaves)
+@functools.partial(jax.jit, static_argnames=("hasher",))
+def _leaf_digests(leaves: jnp.ndarray, hasher: str = "poseidon") -> jnp.ndarray:
+    from .hashing import get_hasher
+
+    return get_hasher(hasher).hash_or_noop(leaves)
 
 
-@functools.partial(jax.jit, static_argnames=("cap_height",))
-def _upper_levels(digests: jnp.ndarray, cap_height: int):
+@functools.partial(jax.jit, static_argnames=("cap_height", "hasher"))
+def _upper_levels(digests: jnp.ndarray, cap_height: int, hasher: str = "poseidon"):
+    from .hashing import get_hasher
+
+    h = get_hasher(hasher)
     levels = [digests]
     while levels[-1].shape[0] > (1 << cap_height):
         cur = levels[-1]
-        levels.append(poseidon.compress(cur[0::2], cur[1::2]))
+        levels.append(h.compress(cur[0::2], cur[1::2]))
     return tuple(levels[1:])
 
 
@@ -109,20 +117,23 @@ _BLOCK_CELLS = 1 << 26
 _BLOCK_ROWS_MIN = 1 << 15
 
 
-def build_merkle_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
-    """leaves: [n, width] uint64; n must be a power of two >= 2^cap_height."""
+def build_merkle_tree(
+    leaves: jnp.ndarray, cap_height: int, hasher: str = "poseidon"
+) -> MerkleTree:
+    """leaves: [n, width] uint64; n must be a power of two >= 2^cap_height.
+    hasher: hashing.py registry name (FriConfig.merkle_hash)."""
     n = leaves.shape[0]
     assert n & (n - 1) == 0
     assert 1 << cap_height <= n
     width = leaves.shape[1] if leaves.ndim > 1 else 1
     if n * width <= _BLOCK_CELLS or width <= 4:
-        levels = list(_build_levels(leaves, cap_height))
+        levels = list(_build_levels(leaves, cap_height, hasher))
         return MerkleTree(levels=levels, cap_height=cap_height)
     row_block = max(_BLOCK_CELLS // width, _BLOCK_ROWS_MIN)
     row_block = 1 << (row_block.bit_length() - 1)  # power of two
     parts = []
     for i in range(0, n, row_block):
-        d = _leaf_digests(leaves[i : i + row_block])
+        d = _leaf_digests(leaves[i : i + row_block], hasher)
         # sync per block: unbounded async enqueue reserves every block
         # program's temp buffers at once (see stark/prover.py _SYNC_CELLS;
         # hard_sync because block_until_ready does not wait over the tunnel)
@@ -131,7 +142,7 @@ def build_merkle_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
         hard_sync(d)
         parts.append(d)
     digests = jnp.concatenate(parts)
-    levels = [digests] + list(_upper_levels(digests, cap_height))
+    levels = [digests] + list(_upper_levels(digests, cap_height, hasher))
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 
@@ -140,16 +151,20 @@ def verify_merkle_proof(
     index: int,
     path: jnp.ndarray,
     cap: jnp.ndarray,
+    hasher: str = "poseidon",
 ) -> bool:
     """Check a leaf (raw row values) against a cap. Host-side helper."""
-    digest = poseidon.hash_or_noop(leaf_data)
+    from .hashing import get_hasher
+
+    h = get_hasher(hasher)
+    digest = h.hash_or_noop(leaf_data)
     idx = index
     for i in range(path.shape[0]):
         sib = path[i]
         if idx & 1:
-            digest = poseidon.compress(sib, digest)
+            digest = h.compress(sib, digest)
         else:
-            digest = poseidon.compress(digest, sib)
+            digest = h.compress(digest, sib)
         idx >>= 1
     expected = cap[idx]
     return bool(jax.device_get((digest == expected).all()))

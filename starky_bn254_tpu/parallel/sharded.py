@@ -173,8 +173,11 @@ def sharded_commit_tree(mesh: Mesh, values, cfg):
     digest, cap and transcript downstream — are exactly the single-chip ones
     (pinned by tests/test_parallel.py)."""
     from .. import merkle
+    from ..hashing import get_hasher
     from ..stark.prover import Commitment
 
+    hasher = cfg.fri.merkle_hash
+    hasher_mod = get_hasher(hasher)
     if isinstance(values, list):
         values = values.pop()
     d = mesh.devices.size
@@ -207,7 +210,7 @@ def sharded_commit_tree(mesh: Mesh, values, cfg):
         swapped = jax.lax.all_to_all(blocks, axis, 0, 0, tiled=False)
         rows = jnp.concatenate([swapped[k] for k in range(d)], axis=1)
         rows = rows[:, :c]  # drop NTT-only zero padding before hashing
-        digests = poseidon.hash_or_noop(rows)
+        digests = hasher_mod.hash_or_noop(rows)
         return rows, digests
 
     import contextlib
@@ -215,7 +218,7 @@ def sharded_commit_tree(mesh: Mesh, values, cfg):
     with contextlib.nullcontext() if mesh_pallas else _pallas.xla_only():
         lde_rows, digests = commit_local(values)
     cap_h = min(cfg.fri.cap_height, big_n.bit_length() - 1)
-    levels = [digests] + list(merkle._upper_levels(digests, cap_h))
+    levels = [digests] + list(merkle._upper_levels(digests, cap_h, hasher))
     return Commitment(
         lde=lde_rows, tree=merkle.MerkleTree(levels=levels, cap_height=cap_h)
     )

@@ -414,6 +414,20 @@ def sponge_absorb(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
     return _sponge_absorb_xla(state, block)
 
 
+def finalize(state: jnp.ndarray, tail: jnp.ndarray | None = None) -> jnp.ndarray:
+    """End an overwrite-mode absorb stream: absorb the zero-padded sub-rate
+    tail (if any) and return the [..., 4] digests. With an empty tail this
+    is exactly `state[..., :4]` — bit-identical to the historical streaming
+    commit, which padded inline. Part of the hashing.py hasher interface."""
+    if tail is not None and tail.shape[-1]:
+        pad_amt = (-tail.shape[-1]) % RATE
+        if pad_amt:
+            pad = [(0, 0)] * (tail.ndim - 1) + [(0, pad_amt)]
+            tail = jnp.pad(tail, pad)
+        state = sponge_absorb(state, tail)
+    return state[..., :4]
+
+
 def hash_or_noop(inputs: jnp.ndarray) -> jnp.ndarray:
     """[..., n] -> [..., 4]: values <= 4 wide are zero-padded, not hashed."""
     n = inputs.shape[-1]

@@ -205,7 +205,7 @@ def prove_batch_fri(
             from .. import merkle
 
             cap_h = min(cfg.fri.cap_height, q_lde.shape[0].bit_length() - 1)
-            q_tree = merkle.build_merkle_tree(q_lde, cap_h)
+            q_tree = merkle.build_merkle_tree(q_lde, cap_h, cfg.fri.merkle_hash)
             if offload:
                 q_lde = np.asarray(q_lde)  # host copy; device buffer freed
         challenger.observe_cap(np.asarray(q_tree.cap))
@@ -476,7 +476,7 @@ def _verify_batch_impl(airs, batch, cfg) -> bool:
         _require(
             verify_merkle_batch(
                 leaves, jnp_.asarray(idx_np % n_lde_o), paths,
-                jnp_.asarray(cap),
+                jnp_.asarray(cap), cfg.fri.merkle_hash,
             ),
             f"initial merkle check failed (oracle {o})",
         )

@@ -21,6 +21,13 @@ class FriConfig:
     # (slightly larger final polys trade a few KB of proof for fewer fold
     # layers => fewer compiled graphs and Merkle paths)
     final_poly_bits: int = 7
+    # Vector-commitment (Merkle) hash: "poseidon" (width 12, rate 8 — the
+    # reference's PoseidonGoldilocksConfig shape) or "keccak" (Keccak-f[1600],
+    # rate 17 — plonky2's KeccakGoldilocksConfig alternative; ~8x less VPU
+    # work per absorbed word on TPU, see keccak.py). The Fiat-Shamir
+    # challenger and FRI proof-of-work use Poseidon in EVERY mode, so this
+    # knob never touches the transcript discipline or the parity mode.
+    merkle_hash: str = "poseidon"
     # Transcript-parity mode (plonky2 discipline): every vector is observed
     # element-wise (no tree digests) and proof-of-work follows plonky2's
     # observe(nonce) -> squeeze -> leading-zeros check instead of the
@@ -41,8 +48,16 @@ class StarkConfig:
     fri: FriConfig = field(default_factory=FriConfig)
 
     @staticmethod
-    def standard_fast_config() -> "StarkConfig":
-        return StarkConfig()
+    def standard_fast_config(merkle_hash: str = "poseidon") -> "StarkConfig":
+        return StarkConfig(fri=FriConfig(merkle_hash=merkle_hash))
+
+    @staticmethod
+    def keccak_config() -> "StarkConfig":
+        """standard_fast_config with the Keccak-f[1600] Merkle hash — the
+        TPU-throughput config (mirrors plonky2's KeccakGoldilocksConfig
+        production alternative). Same FRI soundness parameters; only the
+        vector-commitment hash changes (keccak.py has the security note)."""
+        return StarkConfig(fri=FriConfig(merkle_hash="keccak"))
 
     @staticmethod
     def parity_config() -> "StarkConfig":

@@ -89,7 +89,7 @@ def fri_prove(
                 [values[k * q : (k + 1) * q] for k in range(ARITY)], axis=-1
             )  # [q, 8]
             cap_h = min(cfg.cap_height, (q.bit_length() - 1))
-            tree = merkle.build_merkle_tree(pairs, cap_h)
+            tree = merkle.build_merkle_tree(pairs, cap_h, cfg.merkle_hash)
             layer_trees.append(tree)
             layer_pairs.append(pairs)
             challenger.observe_cap(np.asarray(tree.cap))
@@ -419,11 +419,15 @@ def verify_merkle_batch(
     indices: jnp.ndarray,  # [Q]
     paths: jnp.ndarray,  # [Q, depth, 4]
     cap: jnp.ndarray,  # [2^cap, 4]
+    hasher: str = "poseidon",  # FriConfig.merkle_hash
 ) -> bool:
+    from ..hashing import get_hasher
+
+    h = get_hasher(hasher)
     leaves = jnp.asarray(leaves)
     paths = jnp.asarray(paths)
     cap = jnp.asarray(cap)
-    digests = poseidon.hash_or_noop(leaves)  # [Q, 4]
+    digests = h.hash_or_noop(leaves)  # [Q, 4]
     idx = jnp.asarray(indices)
     depth = paths.shape[1]
     for lvl in range(depth):
@@ -431,7 +435,7 @@ def verify_merkle_batch(
         bit = (idx & 1).astype(bool)[:, None]
         left = jnp.where(bit, sib, digests)
         right = jnp.where(bit, digests, sib)
-        digests = poseidon.compress(left, right)
+        digests = h.compress(left, right)
         idx = idx >> 1
     expected = cap[idx]
     return bool(np.asarray((digests == expected).all()))
@@ -474,7 +478,7 @@ def fri_verify_query_layers(
         q = m // ARITY
         j = idx % q
         slot = idx // q  # which of the 4 coset points the query hit
-        ok &= verify_merkle_batch(leaves, j, paths, cap)
+        ok &= verify_merkle_batch(leaves, j, paths, cap, cfg.merkle_hash)
         vs = [leaves[:, 2 * t : 2 * t + 2] for t in range(ARITY)]  # F(i^t x_j)
         # the queried value must appear at its slot in the quad
         mine = vs[0]

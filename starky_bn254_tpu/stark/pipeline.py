@@ -29,9 +29,20 @@ proves re-serializes exactly the cost the pipeline exists to hide
 the num_io=128 G1 shape — the transfer, not the fork, was the gap).
 Unlike the abandoned full-tracegen thread, this thread only reads a
 pipe and calls device_put — both GIL-releasing — so it cannot starve
-the prove's dispatch loop. The fork for batch i+1 always happens from
-the main thread while no prefetch thread is alive (get() joins before
-the next spawn), keeping the fork single-threaded-safe.
+the prove's dispatch loop. The TRACEGEN forks always happen from the
+main thread while no prefetch thread is alive (get() joins before the
+next spawn). That guarantee is scoped to tracegen forks only: the
+package's fork-isolated compile-cache writes (__init__._forked_put) can
+still fire inside prove() while the prefetch thread is mid-device_put;
+those children rely on their pre-fork alarm to escape any inherited
+lock, at worst skipping a cache entry on a cold run.
+
+Device-memory note: steady state keeps TWO full traces resident on the
+device (the current prove's + the prefetched next one — 2 x ~212 MB at
+the num_io=128 G1 shape). If the prefetch device_put fails (OOM), the
+prefetch falls back to handing back the HOST trace and the prove's own
+transfer runs inline — correctness unchanged, overlap lost for that
+batch.
 """
 
 from __future__ import annotations
@@ -51,9 +62,44 @@ from .proof import StarkProof
 from .prover import prove
 
 
+def _pack_trace(trace: np.ndarray):
+    """Split a [n, C] u64 trace into u32-safe and full-width column groups.
+
+    The tunneled-TPU H2D path is CPU-compression-bound (~62 MB/s on the
+    u16-heavy G1 trace as u64, ~49 MB/s for the same data as u32 with half
+    the bytes — measured round 5); ~97% of the G1 columns hold values
+    < 2^32 (u16 range-check limbs, 0/1 flags, small multiplicities), so
+    shipping them as u32 nearly halves the per-batch upload. uint16 is NOT
+    used: the plugin's u16 transfer path measured SLOWER per byte than u32.
+    The device widens and re-orders with one jitted concat+static-gather;
+    tests pin prove_pipelined byte-identity against sequential proves."""
+    mx = trace.max(axis=0)
+    idx32 = np.where(mx < (1 << 32))[0].astype(np.int32)
+    idx64 = np.where(mx >= (1 << 32))[0].astype(np.int32)
+    inv = np.argsort(np.concatenate([idx32, idx64])).astype(np.int32)
+    return (
+        np.ascontiguousarray(trace[:, idx32]).astype(np.uint32),
+        np.ascontiguousarray(trace[:, idx64]),
+        inv,
+    )
+
+
+@jax.jit
+def _unpack_trace(c32, c64, inv):
+    import jax.numpy as jnp
+
+    full = jnp.concatenate([c32.astype(jnp.uint64), c64], axis=1)
+    return jnp.take(full, inv, axis=1)
+
+
 def _spawn_tracegen(air: Air, inputs):
     """Forks a worker that runs air.generate_trace_and_pi(inputs) and
-    streams (trace, pi) back over a pipe. Returns a join() callable."""
+    streams (trace, pi) back over a pipe. Returns (join, cancel):
+    join() blocks for the result; cancel() kills the child and reaps it
+    (used when the pipeline aborts mid-loop so a doomed tracegen doesn't
+    run to completion unsupervised)."""
+    import signal
+
     r, w = os.pipe()
     pid = os.fork()
     if pid == 0:  # child
@@ -63,7 +109,8 @@ def _spawn_tracegen(air: Air, inputs):
             try:
                 trace, pi = air.generate_trace_and_pi(inputs)
                 payload = pickle.dumps(
-                    (np.asarray(trace), np.asarray(pi)), protocol=5
+                    _pack_trace(np.asarray(trace)) + (np.asarray(pi),),
+                    protocol=5,
                 )
                 ok = b"\x01"
             except BaseException:
@@ -104,7 +151,17 @@ def _spawn_tracegen(air: Air, inputs):
             )
         return pickle.loads(payload)
 
-    return join
+    def cancel():
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        try:
+            os.waitpid(pid, 0)
+        except ChildProcessError:
+            pass
+
+    return join, cancel
 
 
 class _DevicePrefetch:
@@ -112,7 +169,8 @@ class _DevicePrefetch:
     daemon thread, so the H2D transfer of batch i+1 overlaps the device
     prove of batch i instead of serializing after it."""
 
-    def __init__(self, join):
+    def __init__(self, spawned):
+        join, self._cancel = spawned
         self._result = None
         self._exc = None
         self._thread = threading.Thread(
@@ -122,11 +180,20 @@ class _DevicePrefetch:
 
     def _run(self, join):
         try:
-            trace, pi = join()
-            trace_dev = jax.device_put(trace)
-            # force the enqueue NOW (device_put is lazy-ish under some
-            # backends); completion is awaited by the consumer's first use
-            trace_dev.block_until_ready()
+            c32, c64, inv, pi = join()
+            try:
+                d32 = jax.device_put(c32)
+                d64 = jax.device_put(c64)
+                trace_dev = _unpack_trace(d32, d64, jax.device_put(inv))
+                # force the enqueue NOW (device_put is lazy-ish under some
+                # backends); completion is awaited by the consumer's use
+                trace_dev.block_until_ready()
+            except Exception:
+                # device staging failed (e.g. HBM exhausted holding two
+                # traces): fall back to a host-side widen — the prove's own
+                # transfer runs inline, losing overlap but not correctness
+                full = np.concatenate([c32.astype(np.uint64), c64], axis=1)
+                trace_dev = full[:, inv]
             self._result = (trace_dev, pi)
         except BaseException as e:  # surfaced in get()
             self._exc = e
@@ -136,6 +203,12 @@ class _DevicePrefetch:
         if self._exc is not None:
             raise self._exc
         return self._result
+
+    def abort(self):
+        """Kill the underlying tracegen child and reap the thread: closing
+        the child unblocks the pipe read, so the thread exits promptly."""
+        self._cancel()
+        self._thread.join(timeout=30)
 
 
 def prove_pipelined(
@@ -159,15 +232,23 @@ def prove_pipelined(
         return []
     proofs: list[StarkProof] = []
     prefetch = _DevicePrefetch(_spawn_tracegen(air, input_batches[0]))
-    for i in range(len(input_batches)):
-        trace_dev, pi = prefetch.get()
-        if i + 1 < len(input_batches):
-            # fork first (no prefetch thread is alive here), then hand the
-            # pipe to the next prefetch thread
-            prefetch = _DevicePrefetch(
-                _spawn_tracegen(air, input_batches[i + 1])
-            )
-        proofs.append(prove(air, trace_dev, pi, cfg, mesh=mesh))
-        if on_proof is not None:
-            on_proof(i, time.time())
+    try:
+        for i in range(len(input_batches)):
+            trace_dev, pi = prefetch.get()
+            prefetch = None
+            if i + 1 < len(input_batches):
+                # fork first (no prefetch thread is alive here), then hand
+                # the pipe to the next prefetch thread
+                prefetch = _DevicePrefetch(
+                    _spawn_tracegen(air, input_batches[i + 1])
+                )
+            proofs.append(prove(air, trace_dev, pi, cfg, mesh=mesh))
+            if on_proof is not None:
+                on_proof(i, time.time())
+    except BaseException:
+        # a failed prove/get must not leave the in-flight tracegen child
+        # (a full witness build + ~212 MB upload) running unsupervised
+        if prefetch is not None:
+            prefetch.abort()
+        raise
     return proofs

@@ -75,7 +75,7 @@ def commit(
     del coeffs
     n_lde = lde.shape[0]
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
-    tree = merkle.build_merkle_tree(lde, cap_h)
+    tree = merkle.build_merkle_tree(lde, cap_h, cfg.fri.merkle_hash)
     # neither the subgroup evaluations nor the coefficients are retained:
     # at the 2^20-row G1 target each would be ~3.4 GB per commitment.
     # Openings are evaluated barycentrically from the LDE (ntt.eval_from_lde).
@@ -94,9 +94,13 @@ def _commit_streaming(
     program temp reservations are the footprint). Each block runs
     INTT -> LDE -> sponge-absorb with an explicit device sync; the carried
     sponge state makes leaf digests bit-identical to the monolithic path."""
-    from .. import poseidon
+    from ..hashing import get_hasher
 
     import os
+
+    poseidon = get_hasher(cfg.fri.merkle_hash)  # hasher module (name kept
+    # for the RATE/WIDTH reads below; poseidon by default, keccak when the
+    # config selects the Keccak-f[1600] Merkle hash)
 
     n, num_cols = values.shape
     n_lde = n << cfg.fri.rate_bits
@@ -142,18 +146,21 @@ def _commit_streaming(
             lde[:, off : off + lde_b.shape[1]] = np.asarray(lde_b)
         else:
             lde = _write_cols(lde, lde_b, jnp.int32(off))
-        absorb = lde_b
-        if absorb.shape[1] % poseidon.RATE:  # final partial block: zero-pad
-            pad = poseidon.RATE - absorb.shape[1] % poseidon.RATE
-            absorb = jnp.pad(absorb, ((0, 0), (0, pad)))
+        # absorb whole RATE-chunks; a sub-rate remainder can only exist in
+        # the FINAL block (block_cols is a RATE multiple) and is carried to
+        # the hasher's finalize below, which applies the hasher's own
+        # padding discipline (zero-pad overwrite for poseidon — digests
+        # bit-identical to the historical inline pad — 10*1 for keccak)
+        full_w = lde_b.shape[1] // poseidon.RATE * poseidon.RATE
+        tail = lde_b[:, full_w:] if full_w < lde_b.shape[1] else None
+        if full_w:
+            state = poseidon.sponge_absorb(state, lde_b[:, :full_w])
         del lde_b
-        state = poseidon.sponge_absorb(state, absorb)
-        del absorb
         hard_sync(state)
         if not offload:
             hard_sync(lde)
     del values  # last reference when called via the 1-list ownership form
-    digests = state[:, :4]
+    digests = poseidon.finalize(state, tail)
     del state
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
     levels = [digests] + list(merkle._upper_levels(digests, cap_h))
@@ -513,7 +520,7 @@ def prove(
     q_chunk_coeffs = jnp.stack(q_chunk_coeffs, axis=1)  # [n, nc*chunks]
     q_lde = ntt.lde_from_coeffs(q_chunk_coeffs, cfg.fri.rate_bits)
     cap_h = min(cfg.fri.cap_height, q_lde.shape[0].bit_length() - 1)
-    q_tree = merkle.build_merkle_tree(q_lde, cap_h)
+    q_tree = merkle.build_merkle_tree(q_lde, cap_h, cfg.fri.merkle_hash)
     challenger.observe_cap(np.asarray(q_tree.cap))
 
     tt_q.__exit__(None, None, None)

@@ -201,7 +201,9 @@ def _verify_impl(air: Air, proof: StarkProof, cfg: StarkConfig) -> bool:
             np.stack([qr.initial_paths[o] for qr in proof.fri.query_rounds])
         )
         _require(
-            verify_merkle_batch(leaves, idx_j, paths, jnp.asarray(caps[o])),
+            verify_merkle_batch(
+                leaves, idx_j, paths, jnp.asarray(caps[o]), cfg.fri.merkle_hash
+            ),
             f"initial merkle check failed (oracle {o})",
         )
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from starky_bn254_tpu import merkle, ntt, poseidon
 from starky_bn254_tpu.parallel import sharded
@@ -127,6 +128,7 @@ def test_sharded_prove_byte_identical():
     assert verify(air, p_mesh, cfg)
 
 
+@pytest.mark.heavy
 def test_sharded_prove_g1_num_io_16_byte_identical():
     """Byte-identity at a REAL heavy shape (VERDICT r3 item 6): G1ExpAir at
     num_io=16 (8192 rows x ~400 main cols + logup aux) over the 8-device
