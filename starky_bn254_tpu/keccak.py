@@ -94,37 +94,63 @@ def _rol(v, k: int):
     return (v << np.uint64(k)) | (v >> np.uint64(64 - k))
 
 
-def _permute_lanes(a: list):
-    """One Keccak-f[1600] over 25 lane arrays (engine-polymorphic ops)."""
-    rc = _round_constants()
+def _round_lanes(a: list, rc):
+    """One Keccak round over 25 lane arrays (engine-polymorphic ops);
+    rc: the round constant (np.uint64 scalar or a traced jnp scalar)."""
     rho = _rho_offsets()
-    for rnd in range(ROUNDS):
-        # theta
-        c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
-        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
-        a = [a[i] ^ d[i % 5] for i in range(25)]
-        # rho + pi: B[y, 2x+3y] = rol(A[x, y])
-        b = [None] * 25
-        for xx in range(5):
-            for yy in range(5):
-                i = xx + 5 * yy
-                b[yy + 5 * ((2 * xx + 3 * yy) % 5)] = _rol(a[i], rho[i])
-        # chi
-        a = [
-            b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
-            for y in range(5)
-            for x in range(5)
-        ]
-        # iota
-        a[0] = a[0] ^ np.uint64(rc[rnd])
+    # theta
+    c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
+    d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+    a = [a[i] ^ d[i % 5] for i in range(25)]
+    # rho + pi: B[y, 2x+3y] = rol(A[x, y])
+    b = [None] * 25
+    for xx in range(5):
+        for yy in range(5):
+            i = xx + 5 * yy
+            b[yy + 5 * ((2 * xx + 3 * yy) % 5)] = _rol(a[i], rho[i])
+    # chi
+    a = [
+        b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
+        for y in range(5)
+        for x in range(5)
+    ]
+    # iota
+    a[0] = a[0] ^ rc
     return a
+
+
+def _permute_lanes(a: list):
+    """Full Keccak-f[1600] over 25 lane arrays, rounds unrolled (host
+    numpy path and the SHA3 self-check; tiny arrays, Python-loop cost)."""
+    for rc in _round_constants():
+        a = _round_lanes(a, np.uint64(rc))
+    return a
+
+
+def _permute_rolled(state: jnp.ndarray) -> jnp.ndarray:
+    """Device permutation with the 24 rounds ROLLED into a lax.scan over
+    the round-constant vector: the graph holds ONE round (~170 u64 ops),
+    not 24 — the unrolled form compiled pathologically (66 s for a 4-
+    permutation graph on XLA:CPU, and the whole-tree builders would have
+    multiplied that by the level count; same lesson as the round-4 rolled
+    Poseidon rounds)."""
+
+    def body(st, rc):
+        lanes = [st[..., i] for i in range(WIDTH)]
+        lanes = _round_lanes(lanes, rc)
+        return jnp.stack(lanes, axis=-1), None
+
+    rcs = jnp.asarray(np.array(_round_constants(), dtype=np.uint64))
+    out, _ = jax.lax.scan(body, state, rcs)
+    return out
 
 
 def permute(state):
     """state [..., 25] u64 -> [..., 25]; numpy in -> numpy out."""
-    eng = np if isinstance(state, np.ndarray) else jnp
-    lanes = [state[..., i] for i in range(WIDTH)]
-    return eng.stack(_permute_lanes(lanes), axis=-1)
+    if isinstance(state, np.ndarray):
+        lanes = [state[..., i] for i in range(WIDTH)]
+        return np.stack(_permute_lanes(lanes), axis=-1)
+    return _permute_rolled(state)
 
 
 def _absorb_block_lanes(lanes: list, block):

@@ -163,7 +163,9 @@ def _commit_streaming(
     digests = poseidon.finalize(state, tail)
     del state
     cap_h = min(cfg.fri.cap_height, n_lde.bit_length() - 1)
-    levels = [digests] + list(merkle._upper_levels(digests, cap_h))
+    levels = [digests] + list(
+        merkle._upper_levels(digests, cap_h, cfg.fri.merkle_hash)
+    )
     return Commitment(lde, merkle.MerkleTree(levels=levels, cap_height=cap_h))
 
 

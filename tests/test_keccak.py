@@ -100,9 +100,10 @@ def test_tamper_rejected_keccak(fq_mul_setup):
     cfg = _keccak_cfg()
     pi = np.zeros(0, dtype=np.uint64)
     proof = prove(air, jnp.asarray(trace), pi, cfg)
-    proof.openings.trace_zeta[0] = np.uint64(
-        (int(proof.openings.trace_zeta[0]) + 1) % ((1 << 64) - (1 << 32) + 1)
-    )
+    tz = np.array(proof.openings.trace_zeta, dtype=np.uint64)  # writable copy
+    flat = tz.reshape(-1)
+    flat[0] = np.uint64((int(flat[0]) + 1) % ((1 << 64) - (1 << 32) + 1))
+    proof.openings.trace_zeta = tz
     ok = True
     try:
         ok = verify(air, proof, cfg)
