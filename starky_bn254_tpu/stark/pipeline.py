@@ -62,6 +62,15 @@ from .proof import StarkProof
 from .prover import prove
 
 
+def _dbg(msg: str) -> None:
+    """Timeline marks for the pipelined path (STARKY_PIPE_DEBUG=1)."""
+    if os.environ.get("STARKY_PIPE_DEBUG"):
+        import sys
+
+        sys.stderr.write(f"[pipe {time.time() % 1000:7.2f}] {msg}\n")
+        sys.stderr.flush()
+
+
 def _pack_trace(trace: np.ndarray):
     """Split a [n, C] u64 trace into u32-safe and full-width column groups.
 
@@ -90,6 +99,46 @@ def _unpack_trace(c32, c64, inv):
 
     full = jnp.concatenate([c32.astype(jnp.uint64), c64], axis=1)
     return jnp.take(full, inv, axis=1)
+
+
+class _PackedTrace(tuple):
+    """(c32, c64, inv) still on host — staged to device by _stage()."""
+
+
+def _stage_on_device() -> bool:
+    """Whether the prefetch thread should device_put the next trace.
+
+    Over the tunneled TPU the answer is NO, measured: a concurrent 106 MB
+    upload and the prove's dispatch stream mutually serialize on the
+    single-stream transport (prove 2.5 s -> 19-21 s, upload 3 s -> 15 s —
+    /tmp/pipe_debug round 5). There, the upload runs serially in the main
+    loop between proves (only tracegen overlaps). On locally-attached
+    devices DMA and dispatch are independent, so staging from the thread
+    overlaps cleanly. STARKY_PIPE_DEVICE_PREFETCH=1/0 overrides."""
+    v = os.environ.get("STARKY_PIPE_DEVICE_PREFETCH")
+    if v is not None:
+        return v == "1"
+    try:
+        # cpu/gpu backends are in-process (DMA overlaps dispatch); a tpu
+        # platform may be the tunneled remote — default to the serial
+        # upload there (a local TPU host sets the env override to 1)
+        return jax.devices()[0].platform in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _stage(trace_like):
+    """Materialize a prefetch result as a device trace (no-op if staged)."""
+    if isinstance(trace_like, _PackedTrace):
+        c32, c64, inv = trace_like
+        t0 = time.time()
+        out = _unpack_trace(
+            jax.device_put(c32), jax.device_put(c64), jax.device_put(inv)
+        )
+        out.block_until_ready()
+        _dbg(f"serial upload+unpack {time.time() - t0:.2f}s")
+        return out
+    return trace_like
 
 
 def _spawn_tracegen(air: Air, inputs):
@@ -180,21 +229,27 @@ class _DevicePrefetch:
 
     def _run(self, join):
         try:
+            t0 = time.time()
             c32, c64, inv, pi = join()
-            try:
-                d32 = jax.device_put(c32)
-                d64 = jax.device_put(c64)
-                trace_dev = _unpack_trace(d32, d64, jax.device_put(inv))
-                # force the enqueue NOW (device_put is lazy-ish under some
-                # backends); completion is awaited by the consumer's use
-                trace_dev.block_until_ready()
-            except Exception:
-                # device staging failed (e.g. HBM exhausted holding two
-                # traces): fall back to a host-side widen — the prove's own
-                # transfer runs inline, losing overlap but not correctness
-                full = np.concatenate([c32.astype(np.uint64), c64], axis=1)
-                trace_dev = full[:, inv]
-            self._result = (trace_dev, pi)
+            _dbg(f"prefetch: tracegen+pipe {time.time() - t0:.2f}s")
+            trace_like = _PackedTrace((c32, c64, inv))
+            if _stage_on_device():
+                try:
+                    t0 = time.time()
+                    d32 = jax.device_put(c32)
+                    d64 = jax.device_put(c64)
+                    staged = _unpack_trace(d32, d64, jax.device_put(inv))
+                    # force the enqueue NOW (device_put is lazy-ish under
+                    # some backends); completion awaited by the consumer
+                    staged.block_until_ready()
+                    trace_like = staged
+                    _dbg(f"prefetch: upload+unpack {time.time() - t0:.2f}s")
+                except Exception:
+                    # device staging failed (e.g. HBM exhausted holding two
+                    # traces): keep the packed host arrays — the main
+                    # loop's _stage() uploads inline, losing overlap only
+                    pass
+            self._result = (trace_like, pi)
         except BaseException as e:  # surfaced in get()
             self._exc = e
 
@@ -234,7 +289,10 @@ def prove_pipelined(
     prefetch = _DevicePrefetch(_spawn_tracegen(air, input_batches[0]))
     try:
         for i in range(len(input_batches)):
-            trace_dev, pi = prefetch.get()
+            t0 = time.time()
+            trace_like, pi = prefetch.get()
+            _dbg(f"batch {i}: get() waited {time.time() - t0:.2f}s")
+            trace_dev = _stage(trace_like)
             prefetch = None
             if i + 1 < len(input_batches):
                 # fork first (no prefetch thread is alive here), then hand
@@ -242,7 +300,9 @@ def prove_pipelined(
                 prefetch = _DevicePrefetch(
                     _spawn_tracegen(air, input_batches[i + 1])
                 )
+            t0 = time.time()
             proofs.append(prove(air, trace_dev, pi, cfg, mesh=mesh))
+            _dbg(f"batch {i}: prove {time.time() - t0:.2f}s")
             if on_proof is not None:
                 on_proof(i, time.time())
     except BaseException:
