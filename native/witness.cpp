@@ -17,6 +17,22 @@
 #include <algorithm>
 #include <atomic>
 #include <thread>
+#include <cstdlib>
+// Worker-thread count: hardware concurrency, capped by STARKY_NATIVE_THREADS
+// when set. The pipelined prover's forked tracegen worker caps itself to a
+// share of the cores so the parent's device-dispatch loop (and the tunnel
+// client's compression threads) stay responsive — an uncapped 4-thread
+// tracegen measured a 6x inflation of the concurrent prove's wall clock.
+static unsigned native_threads() {
+    unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    const char* cap = std::getenv("STARKY_NATIVE_THREADS");
+    if (cap != nullptr) {
+        long v = std::atol(cap);
+        if (v >= 1 && (unsigned)v < hw) return (unsigned)v;
+    }
+    return hw;
+}
+
 #include <vector>
 
 namespace {
@@ -841,7 +857,7 @@ int64_t g1_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
     }
     };  // run_range
     int64_t nt = std::min<int64_t>(
-        n, std::max(1u, std::thread::hardware_concurrency()));
+        n, native_threads());
     if (nt <= 1) {
         run_range(0, n);
     } else {
@@ -993,7 +1009,7 @@ int64_t fq_exp_chain(int64_t n, int64_t rows, const uint16_t* a0,
         }
     };
     int64_t nt = std::min<int64_t>(
-        n, std::max(1u, std::thread::hardware_concurrency()));
+        n, native_threads());
     if (nt <= 1) {
         run_range(0, n);
     } else {
@@ -1132,7 +1148,7 @@ int64_t fq12_exp_chain(int64_t n, int64_t rows, const uint16_t* a0,
         }
     };
     int64_t nt = std::min<int64_t>(
-        n, std::max(1u, std::thread::hardware_concurrency()));
+        n, native_threads());
     if (nt <= 1) {
         run_range(0, n);
     } else {
@@ -1296,7 +1312,7 @@ int64_t g2_exp_chain(int64_t n, int64_t rows, const uint16_t* ax0,
     }
     };  // run_range
     int64_t nt = std::min<int64_t>(
-        n, std::max(1u, std::thread::hardware_concurrency()));
+        n, native_threads());
     if (nt <= 1) {
         run_range(0, n);
     } else {
@@ -1324,7 +1340,7 @@ int64_t hist_u16_cols(const uint64_t* base, int64_t n_rows,
                       int64_t n_cols, int64_t* out) {
     int64_t nt = std::min<int64_t>(
         std::max<int64_t>(1, n_rows / 4096),
-        std::max(1u, std::thread::hardware_concurrency()));
+        native_threads());
     std::vector<std::vector<int64_t>> hists(nt);
     std::atomic<int64_t> err(0);
     auto run_range = [&](int64_t t, int64_t lo, int64_t hi) {

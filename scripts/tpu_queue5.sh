@@ -40,13 +40,13 @@ if [ -n "${NS_PID:-}" ]; then
 fi
 wait "$NS_BG"
 
-# 2. Warm G2 phase table at reference scale (VERDICT r4 item 6a)
+# 2. Mesh-Pallas on the real chip (VERDICT r4 item 5; quick, run first)
+step mesh_pallas_r5 3600 env STARKY_MESH_PALLAS=1 python scripts/mesh_pallas_chip.py
+
+# 3. Warm G2 phase table at reference scale (VERDICT r4 item 6a)
 step heavy_g2_warm_r5 5400 env HEAVY_NUM_IO=16 python scripts/heavy_standard_config.py g2
 
-# 3. First Fq12 TPU prove (VERDICT r4 item 6b)
+# 4. First Fq12 TPU prove (VERDICT r4 item 6b)
 step heavy_fq12_r5 7200 env HEAVY_NUM_IO=16 python scripts/heavy_standard_config.py fq12
-
-# 4. Mesh-Pallas on the real chip (VERDICT r4 item 5)
-step mesh_pallas_r5 3600 env STARKY_MESH_PALLAS=1 python scripts/mesh_pallas_chip.py
 
 echo "[queue5] done $(date -u +%T)" >&2

@@ -156,6 +156,15 @@ def _spawn_tracegen(air: Air, inputs):
         try:
             os.close(r)
             try:
+                # leave the parent's device-dispatch loop and the tunnel
+                # client's compression threads a responsive share of the
+                # cores: an uncapped 4-thread native tracegen measured a
+                # ~6x inflation of the concurrent prove's wall clock
+                try:
+                    os.nice(10)
+                except OSError:  # pragma: no cover
+                    pass
+                os.environ.setdefault("STARKY_NATIVE_THREADS", "2")
                 trace, pi = air.generate_trace_and_pi(inputs)
                 payload = pickle.dumps(
                     _pack_trace(np.asarray(trace)) + (np.asarray(pi),),
