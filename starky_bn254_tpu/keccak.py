@@ -215,10 +215,51 @@ def _hash_no_pad_xla(inputs: jnp.ndarray) -> jnp.ndarray:
     return state[..., :DIGEST]
 
 
+_PALLAS_TILE = 512
+
+
+def _pallas_ready(rows: int) -> bool:
+    import os
+
+    if os.environ.get("STARKY_NO_PALLAS") or os.environ.get(
+        "STARKY_NO_PALLAS_SPONGE"
+    ):
+        return False
+    if rows % _PALLAS_TILE:
+        return False
+    from . import pallas as _pallas
+
+    if _pallas.xla_only_active():
+        return False
+    from .pallas import keccak_kernel as _kk
+
+    return _kk.available() and _kk.kernel_ok()
+
+
 def hash_no_pad(inputs) -> np.ndarray:
-    """[..., n] -> [..., 4] digest (final-block 10*1 padding included)."""
+    """[..., n] -> [..., 4] digest (final-block 10*1 padding included).
+
+    2-D TPU batches route through the Pallas kernel
+    (pallas/keccak_kernel.py): the padded chunk stream is built once and
+    absorbed in <= 15-chunk kernel calls with the state resident in VMEM —
+    the same XOR-chunk sequence as the XLA scan, digests bit-identical."""
     if isinstance(inputs, np.ndarray):
         return _hash_no_pad_np(inputs)
+    n = inputs.shape[-1]
+    if inputs.ndim == 2 and n > 4 and _pallas_ready(inputs.shape[0]):
+        from .pallas import keccak_kernel as _kk
+
+        n_full = n // RATE
+        stream = jnp.concatenate(
+            [inputs[:, : n_full * RATE], _pad_tail(inputs[:, n_full * RATE :], jnp)],
+            axis=1,
+        )
+        state = jnp.zeros((inputs.shape[0], WIDTH), dtype=jnp.uint64)
+        for off in range(0, stream.shape[1], 15 * RATE):
+            state = _kk.sponge_absorb(
+                state, stream[:, off : off + 15 * RATE], tile=_PALLAS_TILE
+            )
+        return state[:, :DIGEST]
     return _hash_no_pad_xla(inputs)
 
 
@@ -258,6 +299,14 @@ def sponge_absorb(state, block):
         for i in range(n // RATE):
             lanes = _absorb_block_lanes(lanes, block[..., i * RATE : (i + 1) * RATE])
         return np.stack(lanes, axis=-1)
+    if state.ndim == 2 and block.ndim == 2 and _pallas_ready(state.shape[0]):
+        from .pallas import keccak_kernel as _kk
+
+        for off in range(0, n, 15 * RATE):
+            state = _kk.sponge_absorb(
+                state, block[:, off : off + 15 * RATE], tile=_PALLAS_TILE
+            )
+        return state
     return _sponge_absorb_xla(state, block)
 
 
@@ -279,6 +328,13 @@ def finalize(state, tail=None):
         lanes = [state[..., i] for i in range(WIDTH)]
         lanes = _absorb_block_lanes(lanes, _pad_tail(tail, np))
         return np.stack(lanes[:DIGEST], axis=-1)
+    if state.ndim == 2 and _pallas_ready(state.shape[0]):
+        from .pallas import keccak_kernel as _kk
+
+        state = _kk.sponge_absorb(
+            state, _pad_tail(jnp.asarray(tail), jnp), tile=_PALLAS_TILE
+        )
+        return state[:, :DIGEST]
     return _finalize_xla(state, tail)
 
 

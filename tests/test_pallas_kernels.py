@@ -160,3 +160,43 @@ class TestNttKernel:
         want = np.asarray(ntt._ntt_xla(jnp.asarray(x), inverse=False))
         got = np.asarray(nk.ntt2d(jnp.asarray(x), interpret=True))
         assert (want == got).all()
+
+
+class TestKeccakKernel:
+    """Keccak-f[1600] sponge kernel (pallas/keccak_kernel.py) — digest
+    bit-identity against the XLA scan path, incl. chunk chaining and the
+    padded-tail finalize sequence the commit paths ride."""
+
+    def test_bit_identical_to_xla_sponge(self):
+        from starky_bn254_tpu import keccak
+        from starky_bn254_tpu.pallas import keccak_kernel as kk
+
+        rng = np.random.default_rng(17)
+        st = jnp.asarray(rng.integers(0, 1 << 63, size=(512, 25), dtype=np.uint64))
+        for chunks in (1, 3):
+            blk = jnp.asarray(
+                rng.integers(0, 1 << 63, size=(512, chunks * 17), dtype=np.uint64)
+            )
+            want = np.asarray(keccak._sponge_absorb_xla(st, blk))
+            got = np.asarray(kk.sponge_absorb(st, blk, tile=512, interpret=True))
+            assert (want == got).all()
+
+    def test_chained_calls_match_hash_no_pad(self):
+        from starky_bn254_tpu import keccak
+        from starky_bn254_tpu.pallas import keccak_kernel as kk
+
+        rng = np.random.default_rng(18)
+        x = rng.integers(0, 1 << 63, size=(512, 55), dtype=np.uint64)
+        want = keccak.hash_no_pad(x)  # numpy reference path
+        n_full = 55 // 17
+        xj = jnp.asarray(x)
+        stream = jnp.concatenate(
+            [xj[:, : n_full * 17], keccak._pad_tail(xj[:, n_full * 17 :], jnp)],
+            axis=1,
+        )
+        state = jnp.zeros((512, 25), dtype=jnp.uint64)
+        for off in range(0, stream.shape[1], 2 * 17):  # deliberately tiny calls
+            state = kk.sponge_absorb(
+                state, stream[:, off : off + 2 * 17], tile=512, interpret=True
+            )
+        assert (np.asarray(state[:, :4]) == want).all()
