@@ -110,3 +110,17 @@ def test_tamper_rejected_keccak(fq_mul_setup):
     except Exception:
         ok = False
     assert not ok
+
+
+def test_challenger_accepts_noncanonical_cap_words():
+    """Keccak cap digests are uniform u64 — one word in ~2^32 lands >= p.
+    observe_cap must reduce deterministically instead of tripping the
+    canonicality assert (challenger.py observe_cap)."""
+    from starky_bn254_tpu import goldilocks as gl
+    from starky_bn254_tpu.challenger import Challenger
+
+    big = np.array([[gl.P + 5, 0xFFFFFFFFFFFFFFFF, 1, 2]], dtype=np.uint64)
+    a, b = Challenger(), Challenger()
+    a.observe_cap(big)
+    b.observe_cap(big % np.uint64(gl.P))
+    assert a.get_n_challenges(4) == b.get_n_challenges(4)
