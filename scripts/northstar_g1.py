@@ -46,6 +46,24 @@ def main():
     )
     air = G1ExpAir(num_io)
 
+    # RSS heartbeat: the round-5 2^20 attempt was host-OOM-killed at 130 GB
+    # anon-RSS with no trace of WHICH phase ballooned — log it every 60 s
+    import threading
+
+    from starky_bn254_tpu.utils.memhygiene import rss_gb
+
+    def _heartbeat():
+        while True:
+            time.sleep(60)
+            print(
+                f"[northstar] rss {rss_gb():.1f} GB +{time.time() - T0:.0f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    T0 = time.time()
+    threading.Thread(target=_heartbeat, daemon=True).start()
+
     t0 = time.time()
     base_points = [bn254.g1_mul(bn254.G1_GEN, rand_scalar()) for _ in range(64)]
     inputs = [

@@ -417,6 +417,9 @@ def evaluate_composition(
             from .prover import hard_sync
 
             hard_sync(out)
+            from ..utils.memhygiene import trim
+
+            trim()  # host-OOM hygiene at offload scale (see memhygiene.py)
         out_blocks.append(out)
     if len(out_blocks) == 1:
         return out_blocks[0]

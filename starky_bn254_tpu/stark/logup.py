@@ -212,6 +212,9 @@ def compute_logup_columns_streamed(
                 delta_t[r0 : r0 + block] = np.asarray(delta)
                 hard_sync(g)  # bound coexisting block temps on the chip
                 del h_mat, g, delta
+                from ..utils.memhygiene import trim
+
+                trim()  # see prover._commit_streaming: host-OOM hygiene
             deltas = np.concatenate([deltas, delta_t[:, None]], axis=1)
             # S filled below once every table's deltas exist (cumsum order
             # must match _logup_scan_2d: one shifted scan per delta column)

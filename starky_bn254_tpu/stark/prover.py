@@ -159,6 +159,13 @@ def _commit_streaming(
         hard_sync(state)
         if not offload:
             hard_sync(lde)
+        else:
+            # each block churns a ~0.3 GB transient D2H copy; glibc keeps
+            # the freed arenas resident and the 2^20 north star was
+            # host-OOM-killed at 130 GB RSS (utils/memhygiene.py)
+            from ..utils.memhygiene import trim
+
+            trim()
     del values  # last reference when called via the 1-list ownership form
     digests = poseidon.finalize(state, tail)
     del state
@@ -670,6 +677,13 @@ def _batch_opening_poly(
                 )
                 if sync:
                     hard_sync(s0)
+                    if isinstance(m, np.ndarray):
+                        # each chunk forced a contiguous ~1 GB host copy of
+                        # the non-contiguous column slice; return the freed
+                        # arenas (host-OOM hygiene, utils/memhygiene.py)
+                        from ..utils.memhygiene import trim
+
+                        trim()
             c_acc = gl.ext_add(c_acc, _ext_dot(w[off : off + k], np.asarray(y)))
             off += k
         return _group_finish(s0, s1, jnp.asarray(c_acc), inv_den), total
